@@ -1,0 +1,208 @@
+"""PoseNet: RAFT flow + TinyUNet confidence heads + differentiable GN pose solve.
+
+TPU-native rebuild of reference core/pose/pose_net.py:13-164. The entire
+inference path — stereo flow -> depth -> point clouds -> flow warp -> weight
+maps -> Gauss-Newton pose solve — is one jittable function with no host
+round-trips (the BASELINE.json north-star restructuring).
+
+External tensor contracts mirror the reference (NCHW, images in [0, 255]);
+convolutions run NHWC internally (TPU-native layout).
+"""
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from robust_pose_tpu.models.raft import CDIM, HDIM, RAFT
+from robust_pose_tpu.models.unet import TinyUNet
+from robust_pose_tpu.ops.geometry import create_img_coords, depth_to_pcl
+from robust_pose_tpu.ops.warp import remap_from_flow, remap_from_flow_nearest
+from robust_pose_tpu.solver.gauss_newton import SolverConfig, make_pose_layer
+from robust_pose_tpu.solver.objectives import PoseProblemInputs
+
+Array = jax.Array
+
+
+def _nchw(x: Array) -> Array:
+    return x.transpose(0, 3, 1, 2)
+
+
+def _nhwc(x: Array) -> Array:
+    return x.transpose(0, 2, 3, 1)
+
+
+def _resize_eighth(x_nchw: Array) -> Array:
+    """F.interpolate(scale_factor=0.125, mode='bilinear') analogue
+    (reference core/pose/pose_net.py:110-113)."""
+    b, c, h, w = x_nchw.shape
+    return jax.image.resize(
+        x_nchw, (b, c, h // 8, w // 8), method="linear", antialias=False
+    )
+
+
+class PoseNetOutputs(NamedTuple):
+    pose: Array          # (B, 7) SE(3) vec (inference) — reference returns SE3
+    pose_tan: Array      # (B, 6) tangent (training target space)
+    depth1: Array        # (B, 1, H, W)
+    depth2: Array        # (B, 1, H, W)
+    conf1: Array         # (B, 1, H, W) 2D confidence
+    conf2: Array         # (B, 1, H, W) 3D confidence
+    flow: Array          # (B, 2, H, W) temporal flow
+    stereo_flow2: Array  # (B, 2, H, W)
+
+
+class PoseNet(nn.Module):
+    """config keys mirror the reference checkpoint config
+    (reference core/pose/pose_net.py:14-27): image_shape (H, W), iters,
+    lbgfs_iters (solver iterations), use_weights."""
+
+    config: Any
+
+    def setup(self):
+        H, W = self.config["image_shape"]
+        self.flow_net = RAFT(iters=self.config.get("iters", 12), name="flow")
+        self.weight_head_2d = TinyUNet(
+            in_channels=HDIM + CDIM + 8, output_size=(H, W), name="weight_head_2d"
+        )
+        self.weight_head_3d = TinyUNet(
+            in_channels=HDIM + CDIM + 8 + 8, output_size=(H, W), name="weight_head_3d"
+        )
+        self.loss_weight = self.param(
+            "loss_weight", lambda k: jnp.ones((2,), jnp.float32)
+        )
+        self._img_coords = create_img_coords(H, W)
+        self._pose_layer = make_pose_layer(
+            self._img_coords,
+            SolverConfig(iters=self.config.get("lbgfs_iters", 20)),
+        )
+
+    # ------------------------------------------------------------------
+    # building blocks
+    # ------------------------------------------------------------------
+
+    def run_flow(self, img1_nchw: Array, img2_nchw: Array):
+        """RAFT pass; returns (flow (B,2,H,W), hidden (B,128,H/8,W/8),
+        context (B,128,H/8,W/8))."""
+        flow, net, inp = self.flow_net(_nhwc(img1_nchw), _nhwc(img2_nchw))
+        return _nchw(flow), _nchw(net), _nchw(inp)
+
+    def flow2depth(self, imagel: Array, imager: Array, baseline: Array):
+        """Stereo flow -> normalized depth (reference pose_net.py:127-135).
+
+        depth = baseline / -flow_x, valid iff 0 < depth <= 1 (depth is
+        normalized by the depth cutoff; baseline is pre-scaled accordingly).
+        """
+        flow, _, _ = self.run_flow(imagel, imager)
+        return self.disparity_to_depth(flow, baseline) + (flow,)
+
+    @staticmethod
+    def disparity_to_depth(stereo_flow: Array, baseline: Array):
+        depth = baseline[:, None, None] / -stereo_flow[:, 0]
+        valid = (depth > 0) & (depth <= 1.0)
+        depth = jnp.where(valid, depth, 1.0)
+        return depth[:, None], valid[:, None]
+
+    def get_weight_maps(self, pcl1, pcl2, image1l, image2l, mask2, time_flow,
+                        stereo_flow1, stereo_flow2, hidden, context):
+        """Warp frame-2 quantities into frame-1 correspondence and predict
+        2D/3D confidence maps (reference pose_net.py:102-119)."""
+        pcl2, _ = remap_from_flow(pcl2, time_flow)
+        image2l_w, _ = remap_from_flow(image2l, time_flow)
+        stereo_flow2_w, _ = remap_from_flow(stereo_flow2, time_flow)
+        mask2f, valid_mapping = remap_from_flow_nearest(
+            mask2.astype(jnp.float32), time_flow
+        )
+        mask2 = valid_mapping & (mask2f > 0)
+
+        if self.config.get("use_weights", True):
+            inp1 = _resize_eighth(
+                jnp.concatenate([stereo_flow1, image1l, pcl1], axis=1)
+            )
+            inp2 = _resize_eighth(
+                jnp.concatenate([stereo_flow2_w, image2l_w, pcl2], axis=1)
+            )
+            feat = jnp.concatenate([inp1, hidden, context], axis=1)
+            conf1 = nn.sigmoid(_nchw(self.weight_head_2d(_nhwc(feat))))
+            feat3 = jnp.concatenate([inp1, inp2, hidden, context], axis=1)
+            conf2 = nn.sigmoid(_nchw(self.weight_head_3d(_nhwc(feat3))))
+        else:
+            conf1 = jnp.ones_like(mask2, dtype=jnp.float32)
+            conf2 = jnp.ones_like(mask2, dtype=jnp.float32)
+        return conf1, conf2, pcl2, mask2
+
+    def _solve(self, time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2,
+               intrinsics) -> Tuple[Array, Array]:
+        b = time_flow.shape[0]
+        lw = jnp.broadcast_to(self.loss_weight[None], (b, 2))
+        xs = PoseProblemInputs(
+            flow=time_flow, pcl1=pcl1, pcl2=pcl2, weights1=conf1, weights2=conf2,
+            mask1=mask1, mask2=mask2, intrinsics=intrinsics, loss_weight=lw,
+        )
+        return self._pose_layer(xs)
+
+    # ------------------------------------------------------------------
+    # inference path (reference pose_net.py:60-85)
+    # ------------------------------------------------------------------
+
+    def infer(self, image1l, image2l, intrinsics, baseline, depth1, image2r,
+              mask1, mask2, stereo_flow1) -> PoseNetOutputs:
+        """Single fused step: temporal + stereo flow batched through one RAFT
+        pass (reference pose_net.py:62-69), depth, weight maps, GN solve."""
+        b = image1l.shape[0]
+        ref_imgs = jnp.concatenate([image1l, image2l], axis=0)
+        trg_imgs = jnp.concatenate([image2l, image2r], axis=0)
+        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs)
+        time_flow, stereo_flow2 = flows[:b], flows[b:]
+        hidden, context = hidden[:b], context[:b]
+
+        depth2, valid2 = self.disparity_to_depth(stereo_flow2, baseline)
+        mask2 = mask2 & valid2
+        pcl1 = depth_to_pcl(depth1, intrinsics, self._img_coords)
+        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
+
+        conf1, conf2, pcl2, mask2 = self.get_weight_maps(
+            pcl1, pcl2, image1l, image2l, mask2, time_flow,
+            stereo_flow1, stereo_flow2, hidden, context,
+        )
+        pose, pose_tan = self._solve(
+            time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics
+        )
+        return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
+                              time_flow, stereo_flow2)
+
+    # ------------------------------------------------------------------
+    # training path (reference pose_net.py:29-58)
+    # ------------------------------------------------------------------
+
+    def __call__(self, image1l, image2l, intrinsics, baseline, image1r,
+                 image2r, mask1=None, mask2=None, train: bool = False
+                 ) -> PoseNetOutputs:
+        b = image1l.shape[0]
+        # batch both stereo pairs and the temporal pair through one RAFT pass
+        # (generalizes the reference's inference-time batching trick to train)
+        ref_imgs = jnp.concatenate([image1l, image2l, image1l], axis=0)
+        trg_imgs = jnp.concatenate([image1r, image2r, image2l], axis=0)
+        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs)
+        stereo_flow1, stereo_flow2, time_flow = flows[:b], flows[b:2 * b], flows[2 * b:]
+        hidden, context = hidden[2 * b:], context[2 * b:]
+
+        depth1, valid1 = self.disparity_to_depth(stereo_flow1, baseline)
+        depth2, valid2 = self.disparity_to_depth(stereo_flow2, baseline)
+        mask1 = (mask1 & valid1) if mask1 is not None else valid1
+        mask2 = (mask2 & valid2) if mask2 is not None else valid2
+
+        pcl1 = depth_to_pcl(depth1, intrinsics, self._img_coords)
+        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
+
+        conf1, conf2, pcl2, mask2 = self.get_weight_maps(
+            pcl1, pcl2, image1l, image2l, mask2, time_flow,
+            stereo_flow1, stereo_flow2, hidden, context,
+        )
+        pose, pose_tan = self._solve(
+            time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics
+        )
+        return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
+                              time_flow, stereo_flow2)

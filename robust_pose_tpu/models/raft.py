@@ -1,0 +1,303 @@
+"""RAFT optical flow in JAX/flax — TPU-native rebuild of the reference's RAFT
+submodule (aimi-lab fork of princeton-vl/RAFT; reference imports it at
+core/pose/pose_net.py:6 and calls ``flow(img1, img2, upsample=True) ->
+(flow_predictions, gru_hidden_state, context)``, see core/pose/pose_net.py:47,65,129).
+
+Architecture (RAFT "large"): feature + context encoders at 1/8 resolution,
+4-level all-pairs correlation pyramid with radius-4 bilinear lookup, a
+separable ConvGRU update operator iterated ``iters`` times, and convex
+upsampling of the 1/8-res flow. The fork-specific API addition — returning the
+final GRU hidden state and the context features for the downstream confidence
+weight heads — is preserved.
+
+TPU-first design choices:
+* NHWC layout throughout (MXU-friendly convs; the PoseNet boundary transposes
+  from the reference's NCHW contract).
+* the recurrent update loop is a ``lax.scan`` — one compiled region, no
+  Python-driven iteration (reference hot loop A, SURVEY.md §3.1).
+* correlation pyramid levels are built by reshape-mean pooling, the radius-4
+  lookup is a batched XLA gather with shared bilinear corner weights.
+* instance/batch norms run in inference mode (the reference freezes RAFT BN
+  permanently: core/pose/pose_net.py:22 ``freeze_bn`` and config
+  ``freeze_flow_steps`` ~ infinity).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+CORR_LEVELS = 4
+CORR_RADIUS = 4
+HDIM = 128  # GRU hidden dim (proven by reference weight-head input channel math,
+CDIM = 128  # core/pose/pose_net.py:24-27: 128 + 128 + 8)
+
+
+class ResidualBlock(nn.Module):
+    planes: int
+    norm: str = "instance"
+    stride: int = 1
+
+    def _norm(self, name):
+        if self.norm == "instance":
+            # torch InstanceNorm2d(affine=False)
+            return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                                use_scale=False, name=name)
+        elif self.norm == "batch":
+            return nn.BatchNorm(use_running_average=True, name=name)
+        else:
+            raise ValueError(self.norm)
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, name="conv1")(x)
+        y = nn.relu(self._norm("norm1")(y))
+        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.relu(self._norm("norm2")(y))
+        if self.stride != 1 or x.shape[-1] != self.planes:
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = self._norm("norm3")(x)
+        return nn.relu(x + y)
+
+
+class BasicEncoder(nn.Module):
+    """Feature/context encoder: 1/8 resolution, output_dim channels."""
+
+    output_dim: int = 256
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, name="conv1")(x)
+        if self.norm == "instance":
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                             use_scale=False, name="norm1")(x)
+        else:
+            x = nn.BatchNorm(use_running_average=True, name="norm1")(x)
+        x = nn.relu(x)
+        for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
+            x = ResidualBlock(planes, self.norm, stride, name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(planes, self.norm, 1, name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+
+
+class BasicMotionEncoder(nn.Module):
+    @nn.compact
+    def __call__(self, flow, corr):
+        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(f))
+        out = nn.relu(nn.Conv(128 - 2, (3, 3), padding=1, name="conv")(
+            jnp.concatenate([c, f], axis=-1)))
+        return jnp.concatenate([out, flow], axis=-1)
+
+
+class SepConvGRU(nn.Module):
+    hidden_dim: int = HDIM
+
+    @nn.compact
+    def __call__(self, h, x):
+        # horizontal pass (1x5)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convz1")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convr1")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convq1")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        h = (1 - z) * h + z * q
+        # vertical pass (5x1)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convz2")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convr2")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convq2")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class FlowHead(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv1")(x))
+        return nn.Conv(2, (3, 3), padding=1, name="conv2")(x)
+
+
+class BasicUpdateBlock(nn.Module):
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        motion = BasicMotionEncoder(name="encoder")(flow, corr)
+        net = SepConvGRU(name="gru")(net, jnp.concatenate([inp, motion], axis=-1))
+        delta_flow = FlowHead(name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
+        up_mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(m)
+        return net, up_mask, delta_flow
+
+
+# ---------------------------------------------------------------------------
+# correlation pyramid
+# ---------------------------------------------------------------------------
+
+def build_corr_pyramid(fmap1: Array, fmap2: Array) -> Sequence[Array]:
+    """All-pairs correlation + 4-level pyramid.
+
+    :param fmap1, fmap2: (B, H, W, C) 1/8-res feature maps
+    :return: list of (B, H*W, Hl, Wl) volumes, level l pooled by 2^l
+    """
+    b, h, w, c = fmap1.shape
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bnc,bmc->bnm", f1, f2) / jnp.sqrt(jnp.asarray(c, f1.dtype))
+    corr = corr.reshape(b, h * w, h, w)
+    pyramid = [corr]
+    for _ in range(CORR_LEVELS - 1):
+        bq, n, hl, wl = pyramid[-1].shape
+        p = pyramid[-1].reshape(bq, n, hl // 2, 2, wl // 2, 2).mean(axis=(3, 5))
+        pyramid.append(p)
+    return pyramid
+
+
+def lookup_corr(pyramid: Sequence[Array], coords: Array) -> Array:
+    """Radius-4 bilinear lookup in every pyramid level.
+
+    :param coords: (B, H, W, 2) current correspondence estimates (x, y) in
+        1/8-res pixels
+    :return: (B, H, W, CORR_LEVELS * (2r+1)^2) correlation features
+    """
+    b, h, w, _ = coords.shape
+    r = CORR_RADIUS
+    d = 2 * r + 1
+    dx = jnp.arange(-r, r + 1, dtype=coords.dtype)
+    dgrid_x, dgrid_y = jnp.meshgrid(dx, dx, indexing="xy")  # (d, d)
+
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        _, _, hl, wl = corr.shape
+        c = coords.reshape(b, h * w, 2) / (2 ** lvl)
+        cx = c[..., 0:1] + dgrid_x.reshape(1, 1, -1)  # (B, N, d*d)
+        cy = c[..., 1:2] + dgrid_y.reshape(1, 1, -1)
+
+        # shared bilinear corner weights across the integer offset window
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        wx = cx - x0
+        wy = cy - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+
+        flat = corr.reshape(b, h * w, hl * wl)
+
+        def gather(ix, iy):
+            inb = (ix >= 0) & (ix < wl) & (iy >= 0) & (iy < hl)
+            idx = jnp.clip(iy, 0, hl - 1) * wl + jnp.clip(ix, 0, wl - 1)
+            return jnp.take_along_axis(flat, idx, axis=-1) * inb
+
+        v = (
+            gather(x0, y0) * (1 - wx) * (1 - wy)
+            + gather(x0 + 1, y0) * wx * (1 - wy)
+            + gather(x0, y0 + 1) * (1 - wx) * wy
+            + gather(x0 + 1, y0 + 1) * wx * wy
+        )
+        out.append(v.reshape(b, h, w, d * d))
+    return jnp.concatenate(out, axis=-1)
+
+
+def upsample_flow_convex(flow: Array, mask: Array) -> Array:
+    """Convex-combination 8x upsampling of 1/8-res flow.
+
+    :param flow: (B, H, W, 2)
+    :param mask: (B, H, W, 64*9) logits
+    :return: (B, 8H, 8W, 2)
+    """
+    b, h, w, _ = flow.shape
+    m = mask.reshape(b, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+
+    f = 8.0 * flow
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood stack (unfold)
+    neigh = jnp.stack(
+        [fp[:, i:i + h, j:j + w] for i in range(3) for j in range(3)], axis=3
+    )  # (B, H, W, 9, 2)
+    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, neigh)  # (B, H, W, 8, 8, 2)
+    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 8, W, 8, 2)
+    return up.reshape(b, 8 * h, 8 * w, 2)
+
+
+class _UpdateStep(nn.Module):
+    """One GRU iteration, shaped for ``nn.scan`` (carry, _) -> (carry, None)."""
+
+    @nn.compact
+    def __call__(self, carry, _):
+        corr = lookup_corr(carry["pyramid"], carry["coords1"])
+        flow = carry["coords1"] - carry["coords0"]
+        net, up_mask, delta = BasicUpdateBlock(name="update_block")(
+            carry["net"], carry["inp"], corr, flow
+        )
+        carry = dict(carry, net=net, coords1=carry["coords1"] + delta, up_mask=up_mask)
+        return carry, None
+
+
+class RAFT(nn.Module):
+    """RAFT with the aimi-lab fork API.
+
+    __call__(image1, image2) -> (flow_up (B, H, W, 2), net (B, H/8, W/8, 128),
+    inp (B, H/8, W/8, 128)); images are (B, H, W, 3) in [0, 255].
+    Only the final flow prediction is materialized (the reference keeps a list
+    but every consumer uses ``[-1]`` — core/pose/pose_net.py:48,66-67,129).
+    """
+
+    iters: int = 12
+
+    @nn.compact
+    def __call__(self, image1: Array, image2: Array):
+        b, h, w, _ = image1.shape
+        h8, w8 = h // 8, w // 8
+
+        image1 = 2.0 * (image1 / 255.0) - 1.0
+        image2 = 2.0 * (image2 / 255.0) - 1.0
+
+        fnet = BasicEncoder(output_dim=256, norm="instance", name="fnet")
+        # batching the two frames through the shared feature encoder mirrors
+        # the reference (RAFT fnet([image1, image2]))
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmap1, fmap2 = fmaps[:b], fmaps[b:]
+
+        cnet = BasicEncoder(output_dim=HDIM + CDIM, norm="batch", name="cnet")
+        c = cnet(image1)
+        net = nn.tanh(c[..., :HDIM])
+        inp = nn.relu(c[..., HDIM:])
+
+        pyramid = build_corr_pyramid(fmap1.astype(jnp.float32),
+                                     fmap2.astype(jnp.float32))
+
+        xs = jnp.arange(w8, dtype=jnp.float32)
+        ys = jnp.arange(h8, dtype=jnp.float32)
+        xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
+        coords0 = jnp.broadcast_to(jnp.stack([xg, yg], axis=-1)[None], (b, h8, w8, 2))
+
+        carry0 = {
+            "net": net,
+            "coords1": coords0,
+            "coords0": coords0,
+            "inp": inp,
+            "pyramid": pyramid,
+            "up_mask": jnp.zeros((b, h8, w8, 64 * 9), dtype=net.dtype),
+        }
+
+        # recurrent update iterations as one compiled scan (hot loop A,
+        # SURVEY.md §3.1); params broadcast across iterations
+        scan = nn.scan(
+            _UpdateStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            length=self.iters,
+        )
+        carry, _ = scan(name="update")(carry0, None)
+
+        flow_up = upsample_flow_convex(
+            carry["coords1"] - coords0, carry["up_mask"]
+        )
+        return flow_up, carry["net"], inp

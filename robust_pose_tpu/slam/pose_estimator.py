@@ -1,0 +1,154 @@
+"""Stateful per-frame SLAM tracker.
+
+TPU-native rebuild of reference core/pose/pose_estimator.py:11-159. The
+per-frame computation — RAFT flows, depth, weight maps, GN pose solve, failure
+check, pose chaining and frame-state update — is ONE jitted step whose state
+(last frame buffers + absolute pose) stays resident in HBM between frames;
+the host loop only feeds camera images and reads back poses (the reference
+instead drove LBFGS from Python and moved tensors per frame,
+scripts/infer_trajectory.py:71-95).
+
+Failure semantics preserved from reference pose_estimator.py:80-91: a solved
+relative pose that is non-finite or with |log| > 0.1 is replaced by identity
+and the frame is not fused.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_pose_tpu import se3
+from robust_pose_tpu.models.posenet import PoseNet
+from robust_pose_tpu.slam.frame import Frame, make_frame
+
+Array = jax.Array
+
+
+class PoseEstimator:
+    """Frame-to-frame stereo camera pose estimator.
+
+    :param config: SLAM config dict (keys: frame2frame, depth_clipping,
+        conf_weighing, lbgfs_iters, dist_thr, average_pts — mirrors the
+        reference configuration/infer_f2f.yaml)
+    :param intrinsics: (3, 3) rectified camera intrinsics
+    :param baseline: stereo baseline in pixels
+    :param checkpoint: {'params': ..., 'config': {'model': ...}} dict (see
+        utils/checkpoints.py); the stored model config is rewritten with the
+        SLAM config's image_shape / solver iters / conf_weighing exactly like
+        the reference (pose_estimator.py:26-29)
+    :param img_shape: (width, height) — reference argument order
+    :param init_pose: (7,) initial SE(3) vec
+    """
+
+    def __init__(self, config: dict, intrinsics, baseline: float,
+                 checkpoint: dict, img_shape: Tuple[int, int],
+                 init_pose: Optional[Array] = None):
+        model_config = dict(checkpoint["config"]["model"])
+        model_config["image_shape"] = (img_shape[1], img_shape[0])  # (H, W)
+        model_config["lbgfs_iters"] = config["lbgfs_iters"]
+        model_config["use_weights"] = config["conf_weighing"]
+        self.config = config
+        self.model_config = model_config
+        self.model = PoseNet(model_config)
+        self.variables = checkpoint["params"]
+
+        self.intrinsics = jnp.asarray(intrinsics, jnp.float32)[None]
+        self.scale = float(1.0 / config["depth_clipping"][1])
+        self.baseline = jnp.asarray([baseline], jnp.float32)
+        self.frame2frame = config.get("frame2frame", True)
+
+        self.last_pose = (jnp.asarray(init_pose, jnp.float32)
+                          if init_pose is not None else se3.identity((1,)))
+        if self.last_pose.ndim == 1:
+            self.last_pose = self.last_pose[None]
+        self.last_frame: Optional[Frame] = None
+        self.frame: Optional[Frame] = None
+        self.scene = None
+
+        self._jit_first = jax.jit(self._first_step)
+        self._jit_step = jax.jit(self._track_step)
+
+    # ------------------------------------------------------------------
+    # jitted step functions
+    # ------------------------------------------------------------------
+
+    def _first_step(self, variables, limg, rimg, mask):
+        """First frame: stereo depth only, identity pose
+        (reference pose_estimator.py:103-110)."""
+        depth, valid, stereo_flow = self.model.apply(
+            variables, limg, rimg, self.baseline * self.scale,
+            method=PoseNet.flow2depth,
+        )
+        frame = make_frame(limg, rimg, depth=depth / self.scale, mask=mask,
+                           flow=stereo_flow)
+        return frame
+
+    def _track_step(self, variables, last_pose, last: Frame, limg, rimg, mask):
+        """One tracking step; everything on device (reference
+        pose_estimator.py:50-96 + pose_net.py:60-85 fused)."""
+        out = self.model.apply(
+            variables,
+            last.img, limg, self.intrinsics, self.baseline * self.scale,
+            last.depth * self.scale, rimg, last.mask, mask, last.flow,
+            method=PoseNet.infer,
+        )
+        rel = out.pose  # (1, 7)
+        # failure detection (reference pose_estimator.py:81-87)
+        bad = jnp.any(~jnp.isfinite(rel)) | jnp.any(jnp.abs(se3.log(rel)) > 0.1)
+        rel = jnp.where(bad, se3.identity((1,)), rel)
+        success = ~bad
+
+        rel = se3.scale(rel, 1.0 / self.scale)  # de-normalize depth scaling
+        new_pose = se3.normalize(se3.mul(last_pose, se3.inv(rel)))
+
+        frame = make_frame(limg, rimg, depth=out.depth2 / self.scale,
+                           mask=mask, flow=out.stereo_flow2)
+        return new_pose, frame, out, success
+
+    # ------------------------------------------------------------------
+    # host API
+    # ------------------------------------------------------------------
+
+    def __call__(self, limg, rimg, mask):
+        """Estimate the absolute camera pose for a new stereo frame.
+
+        :param limg/rimg: (1, 3, H, W) rectified images in [0, 255]
+        :param mask: (1, 1, H, W) valid mask
+        :return: (abs_pose (1,7), scene, flow, (conf1, conf2)) — mirrors
+            reference pose_estimator.forward
+        """
+        limg = jnp.asarray(limg, jnp.float32)
+        rimg = jnp.asarray(rimg, jnp.float32)
+        mask = jnp.asarray(mask, bool)
+
+        if self.last_frame is None and self.frame is None:
+            self.frame = self._jit_first(self.variables, limg, rimg, mask)
+            self.last_frame = None
+            self.success = True
+            return self.last_pose, self.scene, None, None
+
+        self.last_frame = self.frame
+        new_pose, frame, out, success = self._jit_step(
+            self.variables, self.last_pose, self.last_frame, limg, rimg, mask
+        )
+        self.last_pose = new_pose
+        self.frame = frame
+        self.success = success
+
+        if self.scene is not None and bool(success):
+            self.scene.fuse(frame, new_pose)
+        return self.last_pose, self.scene, out.flow, (out.conf1, out.conf2)
+
+    def get_last_frame(self):
+        return self.last_frame
+
+    def get_frame(self):
+        return self.frame
+
+    @property
+    def pose_numpy(self) -> np.ndarray:
+        return np.asarray(self.last_pose[0])
