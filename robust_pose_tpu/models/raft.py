@@ -153,8 +153,11 @@ def build_corr_pyramid(fmap1: Array, fmap2: Array) -> Sequence[Array]:
     corr = corr.reshape(b, h * w, h, w)
     pyramid = [corr]
     for _ in range(CORR_LEVELS - 1):
-        bq, n, hl, wl = pyramid[-1].shape
-        p = pyramid[-1].reshape(bq, n, hl // 2, 2, wl // 2, 2).mean(axis=(3, 5))
+        prev = pyramid[-1]
+        # 2x2/2 average pool with floor semantics (torch avg_pool2d)
+        p = jax.lax.reduce_window(
+            prev, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+        ) * 0.25
         pyramid.append(p)
     return pyramid
 

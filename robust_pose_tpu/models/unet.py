@@ -71,7 +71,10 @@ class UNet(nn.Module):
         feats = feats[::-1]
         x = feats[0]
         for i, ch in enumerate(self.dec_chs[1:]):
-            x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2), name=f"upconv{i}")(x)
+            # transpose_kernel=True matches torch ConvTranspose2d semantics
+            # (kernel layout (kh, kw, out, in); see utils/torch_convert.py)
+            x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
+                                 transpose_kernel=True, name=f"upconv{i}")(x)
             skip = _center_crop(feats[i + 1], x.shape[1], x.shape[2])
             x = jnp.concatenate([x, skip], axis=-1)
             x = UpBlock(ch, name=f"dec{i}")(x, train)

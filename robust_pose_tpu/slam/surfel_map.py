@@ -1,0 +1,277 @@
+"""Surfel map: point-based fusion and frame rendering (Keller'13 style).
+
+TPU-native rebuild of reference core/fusion/surfel_map.py:14-313. The
+reference grows/shrinks tensors dynamically every frame (cat/boolean-index,
+surfel_map.py:140-157) — impossible under XLA's static shapes. Here the map
+is a **fixed-capacity slot pool**: every op (fuse, prune, append, render) is a
+masked gather/scatter over static arrays, so the whole fusion step jits into
+one compiled region and the map stays resident in HBM.
+
+Append strategy: pruning marks slots free; new points claim free slots ranked
+by a stable argsort (overflow drops lowest-priority new points and is
+reported via the returned state's ``n_dropped`` counter — the reference would
+instead grow without bound).
+
+Render strategy: the reference sorts by confidence so higher-confidence
+surfels overwrite earlier writes (surfel_map.py:242-254). XLA scatter order
+with duplicate indices is undefined, so we make the winner explicit: a
+scatter-max of a (conf, slot)-packed key picks a unique per-pixel winner,
+then only winners write depth/rgb.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from robust_pose_tpu import se3
+from robust_pose_tpu.ops.geometry import create_img_coords, project2image
+from robust_pose_tpu.ops.interpolation import sparse_img_interpolate
+from robust_pose_tpu.slam.frame import Frame, make_frame
+
+Array = jax.Array
+
+
+class SurfelConfig(NamedTuple):
+    capacity: int
+    img_shape: Tuple[int, int]        # (H, W)
+    conf_thr: float = 7.0             # reference surfel_map.py:22
+    t_max: int = 15                   # reference surfel_map.py:23
+    d_thresh: float = 100.0           # reference surfel_map.py:25
+    average_pts: bool = True          # reference surfel_map.py:30
+
+
+class SurfelState(NamedTuple):
+    opts: Array       # (CAP, 3) world-space points
+    rgb: Array        # (CAP, 3)
+    conf: Array       # (CAP,)
+    t_created: Array  # (CAP,) int32
+    active: Array     # (CAP,) bool
+    tick: Array       # () int32
+    pmat: Array       # (7,) map extrinsics
+    n_dropped: Array  # () int32 — appends lost to capacity overflow
+
+
+def _frame_world_points(frame: Frame, kmat: Array, pose: Array,
+                        img_coords: Array) -> Array:
+    """Back-project the frame depth and move to world coords. -> (N, 3)"""
+    depth = frame.depth.reshape(1, 1, -1)
+    kinv = jnp.linalg.inv(kmat)
+    rays = jnp.matmul(kinv, img_coords, precision=jax.lax.Precision.HIGHEST)
+    opts_cam = (depth[0, 0][None] * rays).T  # (N, 3)
+    return se3.act(pose[None], opts_cam)
+
+
+def surfel_create(frame: Frame, kmat: Array, cfg: SurfelConfig,
+                  pmat: Optional[Array] = None) -> SurfelState:
+    """Initialize the map from a frame (reference surfel_map.py:47-64)."""
+    h, w = cfg.img_shape
+    n = h * w
+    assert cfg.capacity >= n, "surfel capacity must hold at least one frame"
+    img_coords = create_img_coords(h, w)
+    pmat = se3.identity(()) if pmat is None else pmat
+
+    opts = _frame_world_points(frame, kmat, pmat, img_coords)
+    rgb = frame.img.reshape(3, -1).T
+    conf = frame.confidence.reshape(-1) / cfg.conf_thr
+    mask = frame.mask.reshape(-1)
+
+    cap = cfg.capacity
+    pad = cap - n
+    state = SurfelState(
+        opts=jnp.pad(opts, ((0, pad), (0, 0))),
+        rgb=jnp.pad(rgb, ((0, pad), (0, 0))),
+        conf=jnp.pad(conf, (0, pad)),
+        t_created=jnp.zeros((cap,), jnp.int32),
+        active=jnp.pad(mask, (0, pad)),
+        tick=jnp.zeros((), jnp.int32),
+        pmat=pmat,
+        n_dropped=jnp.zeros((), jnp.int32),
+    )
+    return state
+
+
+def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
+                cfg: SurfelConfig) -> SurfelState:
+    """Fuse one frame into the map (reference surfel_map.py:73-148).
+
+    :param pose: (7,) camera-to-world pose of the frame
+    """
+    h, w = cfg.img_shape
+    n = h * w
+    cap = cfg.capacity
+    img_coords = create_img_coords(h, w)
+
+    # frame points in world coordinates (reference surfel_map.py:93-97)
+    opts_new = _frame_world_points(frame, kmat, pose, img_coords)  # (N, 3)
+    rgb_new = frame.img.reshape(3, -1).T
+    fmask = frame.mask.reshape(-1)
+    conf_new = jnp.full((n,), 1.0 / cfg.conf_thr, state.conf.dtype)
+
+    # project all surfels into the current image (surfel_map.py:103-107)
+    pose_inv = se3.inv(pose)
+    ipts, inb = project2image(
+        state.opts.T[None], kmat[None], (h, w), pose_inv[None]
+    )
+    ipts = ipts[0]
+    bidx = inb[0] & state.active
+    # match by pixel quantization (get_match_indices, surfel_map.py:165-179)
+    qx = jnp.round(ipts[0] - 0.5).astype(jnp.int32)
+    qy = jnp.round(ipts[1] - 0.5).astype(jnp.int32)
+    midx = jnp.clip(qy * w + qx, 0, n - 1)
+
+    # depth-outlier rejection in world z (filter_surfels_by_correspondence,
+    # surfel_map.py:181-203 — the reference compares world-frame z values)
+    depth_ok = jnp.abs(opts_new[midx, 2] - state.opts[:, 2]) < cfg.d_thresh
+    matched = bidx & depth_ok & fmask[midx]
+
+    # confidence-weighted running average (surfel_map.py:117-125)
+    ccor = conf_new[midx]
+    cold = state.conf
+    denom = jnp.maximum(cold + ccor, 1e-12)
+    if cfg.average_pts:
+        opts_upd = (cold[:, None] * state.opts + ccor[:, None] * opts_new[midx]) / denom[:, None]
+        rgb_upd = (cold[:, None] * state.rgb + ccor[:, None] * rgb_new[midx]) / denom[:, None]
+        opts = jnp.where(matched[:, None], opts_upd, state.opts)
+        rgb = jnp.where(matched[:, None], rgb_upd, state.rgb)
+    else:
+        opts, rgb = state.opts, state.rgb
+    conf = jnp.where(matched, jnp.clip(cold + ccor, 0.0, 1.0), cold)
+
+    # pixels already covered by a matched surfel (surfel_map.py:127-133)
+    covered = jnp.zeros((n,), bool).at[midx].max(matched, mode="drop")
+    new_mask = ~covered & fmask
+
+    tick = state.tick + 1
+
+    # prune unstable aged surfels (remove_surfels_by_confidence_and_time,
+    # surfel_map.py:150-158)
+    age = tick - state.t_created
+    keep = state.active & ((conf >= 1.0) | (age < cfg.t_max))
+
+    # append new points into free slots: stable argsort ranks free slots
+    # first; new point k claims the k-th free slot
+    free = ~keep
+    free_slots = jnp.argsort(~free, stable=True)  # free slot indices first
+    n_free = jnp.sum(free)
+    rank = jnp.cumsum(new_mask) - 1                # rank among new points
+    can_place = new_mask & (rank < n_free)
+    # target slot per new point (clamped gather; masked scatter below)
+    slot = free_slots[jnp.clip(rank, 0, cap - 1)]
+    slot = jnp.where(can_place, slot, cap)         # cap = out of range -> drop
+
+    opts = opts.at[slot].set(opts_new, mode="drop")
+    rgb = rgb.at[slot].set(rgb_new, mode="drop")
+    conf = conf.at[slot].set(conf_new, mode="drop")
+    t_created = state.t_created.at[slot].set(tick, mode="drop")
+    active = keep.at[slot].set(True, mode="drop")
+
+    n_dropped = state.n_dropped + jnp.sum(new_mask & ~can_place)
+    return SurfelState(opts, rgb, conf, t_created, active, tick, state.pmat,
+                       n_dropped)
+
+
+def surfel_transform(state: SurfelState, tr: Array) -> SurfelState:
+    """Rigidly transform all surfels (reference surfel_map.py:205-219)."""
+    return state._replace(opts=se3.act(tr[None], state.opts))
+
+
+def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
+                  extrinsics: Optional[Array] = None) -> Frame:
+    """Render (image, depth, mask, confidence) from the map
+    (reference surfel_map.py:230-264), confidence-aware z-splat."""
+    h, w = cfg.img_shape
+    n = h * w
+    cap = cfg.capacity
+    T = state.pmat if extrinsics is None else extrinsics
+
+    ipts, inb = project2image(state.opts.T[None], kmat[None], (h, w), T[None])
+    ipts = ipts[0]
+    valid = inb[0] & state.active
+    px = jnp.clip(ipts[0].astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(ipts[1].astype(jnp.int32), 0, h - 1)
+    pix = jnp.where(valid, py * w + px, n)  # n -> dropped
+
+    # unique per-pixel winner: max over packed (conf, slot) key
+    slot_ids = jnp.arange(cap, dtype=jnp.float64 if False else jnp.float32)
+    key = state.conf + slot_ids * 1e-9  # strict tie-break
+    key_img = jnp.zeros((n,), key.dtype).at[pix].max(key, mode="drop")
+    winner = valid & (key == key_img[jnp.clip(pix, 0, n - 1)])
+
+    wpix = jnp.where(winner, pix, n)
+    conf_img = jnp.zeros((n,)).at[wpix].set(state.conf, mode="drop")
+    # camera-frame depth for the rendered frame
+    zcam = se3.act(T[None], state.opts)[:, 2]
+    depth_img = jnp.zeros((n,)).at[wpix].set(zcam, mode="drop")
+    rgb_img = jnp.zeros((n, 3)).at[wpix].set(state.rgb, mode="drop")
+
+    mask = (conf_img != 0.0).reshape(1, 1, h, w)
+    depth = sparse_img_interpolate(depth_img.reshape(1, 1, h, w))
+    colors = sparse_img_interpolate(rgb_img.T.reshape(1, 3, h, w))
+    return make_frame(colors, depth=depth, mask=mask,
+                      confidence=conf_img.reshape(1, 1, h, w))
+
+
+def stable_points(state: SurfelState) -> Array:
+    """Mask of stable surfels (conf >= 1, reference surfel_map.py:286-290)."""
+    return state.active & (state.conf >= 1.0)
+
+
+class SurfelMap:
+    """Host-side convenience wrapper mirroring the reference class API
+    (fuse / render / transform_cpy / save_ply) over the jitted functions."""
+
+    def __init__(self, frame: Frame, kmat, config: Optional[dict] = None,
+                 pmat=None, capacity: Optional[int] = None,
+                 depth_scale: float = 1.0):
+        config = config or {}
+        h, w = frame.shape
+        cap = capacity or 8 * h * w
+        self.cfg = SurfelConfig(
+            capacity=cap,
+            img_shape=(h, w),
+            d_thresh=config.get("dist_thr", 100.0),
+            average_pts=config.get("average_pts", True),
+        )
+        self.kmat = jnp.asarray(kmat, jnp.float32)
+        self.depth_scale = depth_scale
+        pm = None if pmat is None else jnp.asarray(pmat, jnp.float32).reshape(7)
+        self.state = jax.jit(surfel_create, static_argnums=2)(
+            frame, self.kmat, self.cfg, pm
+        )
+        self._fuse = jax.jit(surfel_fuse, static_argnums=4)
+        self._render = jax.jit(surfel_render, static_argnums=2)
+        self._transform = jax.jit(surfel_transform)
+
+    def fuse(self, frame: Frame, pose) -> None:
+        pose = jnp.asarray(pose, jnp.float32).reshape(7)
+        self.state = self._fuse(self.state, frame, pose, self.kmat, self.cfg)
+
+    def render(self, kmat=None, extrinsics=None) -> Frame:
+        kmat = self.kmat if kmat is None else jnp.asarray(kmat, jnp.float32)
+        ex = None if extrinsics is None else jnp.asarray(extrinsics).reshape(7)
+        return self._render(self.state, kmat, self.cfg, ex)
+
+    def transform_cpy(self, tr) -> "SurfelMap":
+        import copy
+        new = copy.copy(self)
+        new.state = self._transform(self.state, jnp.asarray(tr).reshape(7))
+        return new
+
+    @property
+    def n_active(self) -> int:
+        return int(jnp.sum(self.state.active))
+
+    def save_ply(self, path: str, stable: bool = True) -> None:
+        import numpy as np
+
+        from robust_pose_tpu.utils.ply import save_ply as _save
+        sel = stable_points(self.state) if stable else self.state.active
+        sel = np.asarray(sel)
+        opts = np.asarray(self.state.opts)[sel] / self.depth_scale
+        rgb = np.asarray(self.state.rgb)[sel]
+        if len(opts) > 0:
+            _save(opts, rgb, path)

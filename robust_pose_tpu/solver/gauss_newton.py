@@ -85,7 +85,7 @@ def _residuals_and_jacobians(pose: Array, xs: PoseProblemInputs, img_coords: Arr
         & (flow_off[..., 1] < h)
         & xs.mask1.reshape(b, n)
     )
-    c2 = xs.loss_weight[:, 1:2] * xs.weights1.reshape(b, n) * valid2 / (n * h * w)
+    c2 = xs.loss_weight[:, 1:2] * xs.weights1.reshape(b, n) * valid2 * (1.0 / (float(n) * h * w))
 
     # d(pi)/d(pp) @ K = (K[:2] - pi (x) K[2]) / z  -> (B, N, 2, 3)
     K2 = K[:, None, :2, :]                               # (B, 1, 2, 3)
