@@ -24,12 +24,13 @@ def get_rect_maps(lcam_mat, rcam_mat, rmat, tvec, ldist_coeffs, rdist_coeffs,
     if mode == "conventional":
         r1, r2, p1, p2, _, _, _ = cv2.stereoRectify(
             cameraMatrix1=lcam_mat.astype("float64"),
-            distCoeffs1=ldist_coeffs.astype("float64"),
+            distCoeffs1=np.asarray(ldist_coeffs, "float64").reshape(-1),
             cameraMatrix2=rcam_mat.astype("float64"),
-            distCoeffs2=rdist_coeffs.astype("float64"),
+            distCoeffs2=np.asarray(rdist_coeffs, "float64").reshape(-1),
             imageSize=tuple(int(s) for s in img_size),
             R=rmat.astype("float64"),
-            T=tvec.T.astype("float64"),
+            # OpenCV >= 5 requires a (3,1) column translation
+            T=np.asarray(tvec, "float64").reshape(3, 1),
             alpha=0,
         )
         lmap1, lmap2 = cv2.initUndistortRectifyMap(

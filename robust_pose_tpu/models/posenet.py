@@ -106,7 +106,8 @@ class PoseNet(nn.Module):
         return depth[:, None], valid[:, None]
 
     def get_weight_maps(self, pcl1, pcl2, image1l, image2l, mask2, time_flow,
-                        stereo_flow1, stereo_flow2, hidden, context):
+                        stereo_flow1, stereo_flow2, hidden, context,
+                        train: bool = False):
         """Warp frame-2 quantities into frame-1 correspondence and predict
         2D/3D confidence maps (reference pose_net.py:102-119)."""
         pcl2, _ = remap_from_flow(pcl2, time_flow)
@@ -125,9 +126,9 @@ class PoseNet(nn.Module):
                 jnp.concatenate([stereo_flow2_w, image2l_w, pcl2], axis=1)
             )
             feat = jnp.concatenate([inp1, hidden, context], axis=1)
-            conf1 = nn.sigmoid(_nchw(self.weight_head_2d(_nhwc(feat))))
+            conf1 = nn.sigmoid(_nchw(self.weight_head_2d(_nhwc(feat), train)))
             feat3 = jnp.concatenate([inp1, inp2, hidden, context], axis=1)
-            conf2 = nn.sigmoid(_nchw(self.weight_head_3d(_nhwc(feat3))))
+            conf2 = nn.sigmoid(_nchw(self.weight_head_3d(_nhwc(feat3), train)))
         else:
             conf1 = jnp.ones_like(mask2, dtype=jnp.float32)
             conf2 = jnp.ones_like(mask2, dtype=jnp.float32)
@@ -199,7 +200,7 @@ class PoseNet(nn.Module):
 
         conf1, conf2, pcl2, mask2 = self.get_weight_maps(
             pcl1, pcl2, image1l, image2l, mask2, time_flow,
-            stereo_flow1, stereo_flow2, hidden, context,
+            stereo_flow1, stereo_flow2, hidden, context, train,
         )
         pose, pose_tan = self._solve(
             time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics

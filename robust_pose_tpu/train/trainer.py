@@ -1,0 +1,167 @@
+"""PoseNet training: optax AdamW + grad clip, flow-freeze masking, SPMD
+data-parallel step over an ICI mesh, orbax train-state checkpoints.
+
+TPU-native rebuild of reference scripts/train_posenet.py:55-160:
+* AdamW(lr 1e-5, wd 5e-5, eps 1e-8) + global-norm clip 1.0
+  (reference train_posenet.py:80-86, 118-136; AMP GradScaler is unnecessary —
+  TPU bf16 matmuls need no loss scaling)
+* RAFT weights frozen via an optax mask (reference ``freeze_flow``,
+  pose_net.py:149-154 + freeze_flow_steps ~ infinity in train.yaml)
+* gradients flow through the GN argmin via the IFT custom_vjp
+* the whole fwd+bwd+update is ONE jitted SPMD step: batch sharded over the
+  ``data`` mesh axis, params replicated, XLA all-reduces grads over ICI
+  (replaces reference nn.DataParallel, train_posenet.py:77-79)
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.core import freeze, unfreeze
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from robust_pose_tpu.models.posenet import PoseNet
+from robust_pose_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from robust_pose_tpu.train.losses import loss_metrics, supervised_pose_loss
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: Array
+
+
+def _flow_labels(params, freeze_flow: bool):
+    """'frozen' for the RAFT ('flow') subtree when freeze_flow, else 'train'."""
+    def label_fn(path, _):
+        is_flow = len(path) > 0 and getattr(path[0], "key", None) == "flow"
+        return "frozen" if (freeze_flow and is_flow) else "train"
+
+    return jax.tree_util.tree_map_with_path(label_fn, params)
+
+
+def make_optimizer(train_cfg: Dict, params, freeze_flow: bool = True):
+    """AdamW + clip for trainable params; frozen RAFT weights get zero
+    updates (optax.masked would pass raw gradients through instead)."""
+    opt = optax.chain(
+        optax.clip_by_global_norm(train_cfg.get("grad_clip", 1.0)),
+        optax.adamw(
+            learning_rate=train_cfg.get("learning_rate", 1e-5),
+            weight_decay=train_cfg.get("weight_decay", 5e-5),
+            eps=train_cfg.get("epsilon", 1e-8),
+        ),
+    )
+    return optax.multi_transform(
+        {"train": opt, "frozen": optax.set_to_zero()},
+        _flow_labels(params, freeze_flow),
+    )
+
+
+class PoseNetTrainer:
+    """Builds the jitted SPMD train/val steps for a PoseNet.
+
+    :param config: full training config (reference configuration/train.yaml
+        layout: model / train / val / image_shape / depth_scale keys)
+    :param mesh: optional device mesh; defaults to all local devices
+    """
+
+    def __init__(self, config: Dict, mesh: Optional[Mesh] = None,
+                 freeze_flow: bool = True):
+        self.config = config
+        model_cfg = dict(config["model"])
+        model_cfg["image_shape"] = tuple(config["image_shape"])
+        self.model = PoseNet(model_cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.freeze_flow = freeze_flow
+        self._train_cfg = config["train"]
+        self.optimizer = None  # built on init_state
+
+    # -- state ----------------------------------------------------------
+
+    def init_state(self, rng: Array, variables: Optional[Dict] = None
+                   ) -> TrainState:
+        if variables is None:
+            H, W = self.config["image_shape"]
+            img = jnp.zeros((1, 3, H, W))
+            K = jnp.eye(3)[None]
+            bl = jnp.ones((1,))
+            variables = self.model.init(rng, img, img, K, bl, img, img)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.optimizer = make_optimizer(self._train_cfg, params,
+                                        self.freeze_flow)
+        opt_state = self.optimizer.init(params)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+    # -- steps ----------------------------------------------------------
+
+    def _loss_fn(self, params, batch_stats, batch):
+        (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = batch
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = self.model.apply(
+            variables, img1, img2, K, bl, img1r, img2r,
+            mask1.astype(bool), mask2.astype(bool), train=True,
+            mutable=["batch_stats"],
+        )
+        loss_pose = supervised_pose_loss(out.pose_tan, gt_pose)
+        loss = jnp.mean(loss_pose)
+        return loss, (loss_pose, mutated["batch_stats"])
+
+    def make_train_step(self):
+        """Jitted SPMD step: (state, batch) -> (state, metrics)."""
+        mesh = self.mesh
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+
+        def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            (loss, (loss_pose, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, batch
+            )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            metrics = loss_metrics(loss_pose, "train")
+            metrics["train/grad_norm"] = optax.global_norm(grads)
+            new_state = TrainState(params=params, batch_stats=new_stats,
+                                   opt_state=opt_state, step=state.step + 1)
+            return new_state, metrics
+
+        batch_shardings = tuple([shard] * 9)
+        return jax.jit(
+            step,
+            in_shardings=(rep, batch_shardings),
+            out_shardings=(rep, rep),
+        )
+
+    def make_val_step(self):
+        mesh = self.mesh
+        rep = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+
+        def step(state: TrainState, batch) -> Dict:
+            (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = batch
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            out = self.model.apply(
+                variables, img1, img2, K, bl, img1r, img2r,
+                mask1.astype(bool), mask2.astype(bool), train=False,
+            )
+            loss_pose = supervised_pose_loss(out.pose_tan, gt_pose)
+            m = loss_metrics(loss_pose, "val")
+            m["val/loss"] = jnp.nanmean(loss_pose)
+            return m
+
+        return jax.jit(step, in_shardings=(rep, tuple([shard] * 9)),
+                       out_shardings=rep)

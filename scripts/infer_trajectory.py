@@ -1,0 +1,139 @@
+"""Trajectory inference CLI — rebuild of reference scripts/infer_trajectory.py:23-196.
+
+Runs the stereo SLAM loop over a sequence folder (preprocessed PNGs or raw
+mp4), writes the TUM/freiburg trajectory + surfel-map PLYs, and evaluates
+ATE/RPE against ground truth when available. The per-frame compute is one
+compiled TPU step (see robust_pose_tpu/slam/pose_estimator.py); the host loop
+only decodes frames and collects poses.
+"""
+import argparse
+import os
+import sys
+import warnings
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import yaml
+
+
+def main(args, config):
+    import jax.numpy as jnp
+
+    from robust_pose_tpu.data.dataset_utils import (
+        SequentialSubSampler,
+        StereoVideoDataset,
+        get_data,
+        iterate_dataset,
+    )
+    from robust_pose_tpu.slam.pose_estimator import PoseEstimator
+    from robust_pose_tpu.slam.surfel_map import SurfelMap
+    from robust_pose_tpu.slam.frame import make_frame
+    from robust_pose_tpu.utils.checkpoints import load_checkpoint_any
+    from robust_pose_tpu.utils.evaluate import evaluate
+    from robust_pose_tpu.utils.logging import InferenceLogger
+    from robust_pose_tpu.utils.trajectory import read_freiburg, save_trajectory
+
+    if args.outpath is None:
+        args.outpath = os.path.join(args.input, "data", "infer_trajectory")
+    os.makedirs(args.outpath, exist_ok=True)
+
+    dataset, calib = get_data(args.input, config["img_size"],
+                              rect_mode=config["rect_mode"])
+
+    gt_file = os.path.join(args.input, "groundtruth.txt")
+    gt_trajectory = read_freiburg(gt_file) if os.path.isfile(gt_file) else None
+    init_pose = (gt_trajectory[args.start]
+                 if gt_trajectory is not None else None)
+
+    checkpoint = load_checkpoint_any(args.checkpoint)
+    pose_estimator = PoseEstimator(
+        config["slam"], np.asarray(calib["intrinsics"]["left"]),
+        baseline=calib["bf"], checkpoint=checkpoint,
+        img_shape=config["img_size"], init_pose=init_pose,
+    )
+
+    if not isinstance(dataset, StereoVideoDataset):
+        sampler = SequentialSubSampler(dataset, args.start, args.stop, args.step)
+    else:
+        warnings.warn("start/stop not supported for video dataset; ignored.",
+                      UserWarning)
+        sampler = None
+
+    viewer = None
+    if args.viewer == "2d":
+        from robust_pose_tpu.viewer.viewer2d import Viewer2D
+        viewer = Viewer2D(outpath=args.outpath, blocking=args.block_viewer)
+
+    recorder = InferenceLogger(log=args.log)
+    recorder.set_gt(gt_trajectory)
+
+    trajectory = [{"camera-pose": np.asarray(pose_estimator.last_pose[0]),
+                   "timestamp": args.start}]
+    scene = None
+    for i, data in enumerate(iterate_dataset(dataset, sampler)):
+        if isinstance(dataset, StereoVideoDataset):
+            limg, rimg, mask, pose_kinematics, img_number = data
+        else:
+            limg, rimg, mask, img_number = data
+        pose, scene, flow, weights = pose_estimator(
+            limg[None] if limg.ndim == 3 else limg,
+            rimg[None] if rimg.ndim == 3 else rimg,
+            mask[None] if mask.ndim == 3 else mask,
+        )
+        pose_np = np.asarray(pose[0])
+        trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
+        if viewer is not None and i > 0:
+            viewer(pose_estimator.get_frame(), weights, flow, i * args.step)
+        if args.log is not None and i > 0:
+            recorder(scene, pose_np, step=int(img_number))
+
+    save_trajectory(trajectory, args.outpath)
+    if scene is not None:
+        scene.save_ply(os.path.join(args.outpath, "stable_map.ply"), stable=True)
+        scene.save_ply(os.path.join(args.outpath, "all_map.ply"), stable=False)
+
+    if os.path.isfile(gt_file):
+        ate_rmse, rpe_trans, rpe_rot, *_ = evaluate(
+            gt_file, os.path.join(args.outpath, "trajectory.freiburg"),
+            offset=-4,
+        )
+        recorder.summary({"ATE/RMSE": ate_rmse, "RPE/trans": rpe_trans,
+                          "RPE/rot": rpe_rot})
+        print(f"ATE/RMSE: {ate_rmse:.3f} mm  RPE/trans: {rpe_trans:.3f} mm  "
+              f"RPE/rot: {np.rad2deg(rpe_rot):.4f} deg")
+    print("finished")
+    return args.outpath
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="script to run pose estimation")
+    parser.add_argument("input", type=str, help="Path to input folder.")
+    parser.add_argument("--checkpoint", type=str,
+                        default="../trained/poseNet_2xf8up4b.pth",
+                        help="Path to trained Pose Estimator Checkpoint.")
+    parser.add_argument("--outpath", type=str,
+                        help="Path to output folder. Defaults to input path.")
+    parser.add_argument("--config", type=str,
+                        default=os.path.join(os.path.dirname(__file__),
+                                             "../configuration/infer_f2f.yaml"),
+                        help="Configuration file.")
+    parser.add_argument("--device", choices=["cpu", "tpu"], default="tpu",
+                        help="device selection (tpu is the default backend).")
+    parser.add_argument("--stop", type=int, default=10000000000)
+    parser.add_argument("--start", type=int, default=0)
+    parser.add_argument("--step", type=int, default=1)
+    parser.add_argument("--log", default=None,
+                        help="wandb group logging name. No logging if unset")
+    parser.add_argument("--viewer", default="none",
+                        choices=["none", "2d", "3d", "video"])
+    parser.add_argument("--block_viewer", action="store_true")
+    args = parser.parse_args()
+
+    if args.device == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    with open(args.config, "r") as f:
+        config = yaml.safe_load(f)
+    main(args, config)
