@@ -44,6 +44,11 @@ def evaluate(gt_list: Union[str, dict], pred_list: Union[str, dict],
                 continue
             pred_poses.append(vec2mat(pred[k])[0])
             gt_poses.append(vec2mat(gt[k + offset])[0])
+    if not pred_poses:
+        raise ValueError(
+            "no overlapping timestamps between prediction and ground truth "
+            f"(offset={offset}, pred range {pred_keys[0]}..{pred_keys[-1]}, "
+            f"gt range {gt_keys[0]}..{gt_keys[-1]})")
     pred_poses = np.stack(pred_poses)
     gt_poses = np.stack(gt_poses)
 
