@@ -38,22 +38,29 @@ def main():
             method=PoseNet.infer,
         )
 
-    ks = jax.random.split(key, 4)
-    img1 = 255.0 * jax.random.uniform(ks[0], (1, 3, H, W))
-    img2 = 255.0 * jax.random.uniform(ks[1], (1, 3, H, W))
-    img2r = 255.0 * jax.random.uniform(ks[2], (1, 3, H, W))
-    depth1 = jnp.full((1, 1, H, W), 0.5)
-    mask = jnp.ones((1, 1, H, W), bool)
-    sflow1 = jnp.full((1, 2, H, W), -16.0)
+    # distinct inputs per timed call: the axon runtime caches results of
+    # byte-identical executions, which would fake the steady-state FPS
+    def make_inputs(i):
+        ks = jax.random.split(jax.random.PRNGKey(i), 3)
+        return (
+            255.0 * jax.random.uniform(ks[0], (1, 3, H, W)),
+            255.0 * jax.random.uniform(ks[1], (1, 3, H, W)),
+            255.0 * jax.random.uniform(ks[2], (1, 3, H, W)),
+            jnp.full((1, 1, H, W), 0.5),
+            jnp.ones((1, 1, H, W), bool),
+            jnp.full((1, 2, H, W), -16.0),
+        )
 
-    # warmup (compile + cache)
-    out = step(variables, img1, img2, img2r, depth1, mask, sflow1)
+    n_iters = 12
+    batches = [jax.block_until_ready(make_inputs(i)) for i in range(n_iters + 1)]
+
+    # warmup (compile)
+    out = step(variables, *batches[-1])
     jax.block_until_ready(out.pose)
 
-    n_iters = 20
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        out = step(variables, img1, img2, img2r, depth1, mask, sflow1)
+    for i in range(n_iters):
+        out = step(variables, *batches[i])
     jax.block_until_ready(out.pose)
     dt = (time.perf_counter() - t0) / n_iters
     fps = 1.0 / dt

@@ -63,12 +63,22 @@ class PoseNet(nn.Module):
 
     def setup(self):
         H, W = self.config["image_shape"]
-        self.flow_net = RAFT(iters=self.config.get("iters", 12), name="flow")
+        mp = self.config.get("mixed_precision", True)
+        self.flow_net = RAFT(
+            iters=self.config.get("iters", 12),
+            dtype=jnp.bfloat16 if mp else jnp.float32,
+            corr_dtype=jnp.bfloat16 if mp else jnp.float32,
+            name="flow",
+        )
+        compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)
+                         else jnp.float32)
         self.weight_head_2d = TinyUNet(
-            in_channels=HDIM + CDIM + 8, output_size=(H, W), name="weight_head_2d"
+            in_channels=HDIM + CDIM + 8, output_size=(H, W),
+            dtype=compute_dtype, name="weight_head_2d"
         )
         self.weight_head_3d = TinyUNet(
-            in_channels=HDIM + CDIM + 8 + 8, output_size=(H, W), name="weight_head_3d"
+            in_channels=HDIM + CDIM + 8 + 8, output_size=(H, W),
+            dtype=compute_dtype, name="weight_head_3d"
         )
         self.loss_weight = self.param(
             "loss_weight", lambda k: jnp.ones((2,), jnp.float32)

@@ -41,25 +41,30 @@ class ResidualBlock(nn.Module):
     planes: int
     norm: str = "instance"
     stride: int = 1
+    dtype: Any = jnp.float32
 
     def _norm(self, name):
         if self.norm == "instance":
-            # torch InstanceNorm2d(affine=False)
+            # torch InstanceNorm2d(affine=False); statistics in f32
             return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                                use_scale=False, name=name)
+                                use_scale=False, dtype=self.dtype, name=name)
         elif self.norm == "batch":
-            return nn.BatchNorm(use_running_average=True, name=name)
+            return nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                                name=name)
         else:
             raise ValueError(self.norm)
 
     @nn.compact
     def __call__(self, x):
-        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, name="conv1")(x)
+        y = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
+                    dtype=self.dtype, name="conv1")(x)
         y = nn.relu(self._norm("norm1")(y))
-        y = nn.Conv(self.planes, (3, 3), padding=1, name="conv2")(y)
+        y = nn.Conv(self.planes, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(y)
         y = nn.relu(self._norm("norm2")(y))
         if self.stride != 1 or x.shape[-1] != self.planes:
-            x = nn.Conv(self.planes, (1, 1), strides=self.stride, name="downsample")(x)
+            x = nn.Conv(self.planes, (1, 1), strides=self.stride,
+                        dtype=self.dtype, name="downsample")(x)
             x = self._norm("norm3")(x)
         return nn.relu(x + y)
 
@@ -69,70 +74,95 @@ class BasicEncoder(nn.Module):
 
     output_dim: int = 256
     norm: str = "instance"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, name="conv1")(x)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    name="conv1")(x)
         if self.norm == "instance":
             x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                             use_scale=False, name="norm1")(x)
+                             use_scale=False, dtype=self.dtype, name="norm1")(x)
         else:
-            x = nn.BatchNorm(use_running_average=True, name="norm1")(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name="norm1")(x)
         x = nn.relu(x)
         for i, (planes, stride) in enumerate([(64, 1), (96, 2), (128, 2)]):
-            x = ResidualBlock(planes, self.norm, stride, name=f"layer{i+1}_0")(x)
-            x = ResidualBlock(planes, self.norm, 1, name=f"layer{i+1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), name="conv2")(x)
+            x = ResidualBlock(planes, self.norm, stride, dtype=self.dtype,
+                              name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(planes, self.norm, 1, dtype=self.dtype,
+                              name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name="conv2")(x)
 
 
 class BasicMotionEncoder(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, flow, corr):
-        c = nn.relu(nn.Conv(256, (1, 1), name="convc1")(corr))
-        c = nn.relu(nn.Conv(192, (3, 3), padding=1, name="convc2")(c))
-        f = nn.relu(nn.Conv(128, (7, 7), padding=3, name="convf1")(flow))
-        f = nn.relu(nn.Conv(64, (3, 3), padding=1, name="convf2")(f))
-        out = nn.relu(nn.Conv(128 - 2, (3, 3), padding=1, name="conv")(
+        dt = self.dtype
+        c = nn.relu(nn.Conv(256, (1, 1), dtype=dt, name="convc1")(corr))
+        c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt, name="convc2")(c))
+        f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt, name="convf1")(flow))
+        f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt, name="convf2")(f))
+        out = nn.relu(nn.Conv(128 - 2, (3, 3), padding=1, dtype=dt, name="conv")(
             jnp.concatenate([c, f], axis=-1)))
-        return jnp.concatenate([out, flow], axis=-1)
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
 class SepConvGRU(nn.Module):
     hidden_dim: int = HDIM
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
+        dt = self.dtype
+        h = h.astype(dt)
+        x = x.astype(dt)
         # horizontal pass (1x5)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convz1")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convr1")(hx))
-        q = nn.tanh(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), name="convq1")(
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convz1")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convr1")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convq1")(
             jnp.concatenate([r * h, x], axis=-1)))
         h = (1 - z) * h + z * q
         # vertical pass (5x1)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convz2")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convr2")(hx))
-        q = nn.tanh(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), name="convq2")(
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convz2")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convr2")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convq2")(
             jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q
 
 
 class FlowHead(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(nn.Conv(256, (3, 3), padding=1, name="conv1")(x))
-        return nn.Conv(2, (3, 3), padding=1, name="conv2")(x)
+        x = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="conv1")(x))
+        # flow deltas accumulate over 12 iterations: emit f32
+        return nn.Conv(2, (3, 3), padding=1, dtype=jnp.float32,
+                       name="conv2")(x.astype(jnp.float32))
 
 
 class BasicUpdateBlock(nn.Module):
+    dtype: Any = jnp.float32
+
     @nn.compact
     def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(name="encoder")(flow, corr)
-        net = SepConvGRU(name="gru")(net, jnp.concatenate([inp, motion], axis=-1))
-        delta_flow = FlowHead(name="flow_head")(net)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=1, name="mask_conv1")(net))
-        up_mask = 0.25 * nn.Conv(64 * 9, (1, 1), name="mask_conv2")(m)
+        dt = self.dtype
+        motion = BasicMotionEncoder(dtype=dt, name="encoder")(
+            flow.astype(dt), corr.astype(dt))
+        net = SepConvGRU(dtype=dt, name="gru")(
+            net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
+        delta_flow = FlowHead(dtype=dt, name="flow_head")(net)
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
+                            name="mask_conv1")(net))
+        up_mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=jnp.float32,
+                                 name="mask_conv2")(m.astype(jnp.float32))
         return net, up_mask, delta_flow
 
 
@@ -140,16 +170,27 @@ class BasicUpdateBlock(nn.Module):
 # correlation pyramid
 # ---------------------------------------------------------------------------
 
-def build_corr_pyramid(fmap1: Array, fmap2: Array) -> Sequence[Array]:
+LOOKUP_PAD = 2 * CORR_RADIUS + 2
+
+
+def build_corr_pyramid(fmap1: Array, fmap2: Array,
+                       pad_for_lookup: bool = False,
+                       dtype=None) -> Sequence[Array]:
     """All-pairs correlation + 4-level pyramid.
 
     :param fmap1, fmap2: (B, H, W, C) 1/8-res feature maps
-    :return: list of (B, H*W, Hl, Wl) volumes, level l pooled by 2^l
+    :param pad_for_lookup: zero-pad each level spatially by LOOKUP_PAD once,
+        so the 12 GRU-iteration lookups skip their per-call padding
+    :param dtype: storage dtype of the volume (bf16 halves the HBM traffic of
+        the 12 lookups; the values only feed bf16 MXU matmuls downstream)
+    :return: list of (B, H*W, Hl[, +2*pad], Wl[, +2*pad]) volumes
     """
     b, h, w, c = fmap1.shape
     f1 = fmap1.reshape(b, h * w, c)
     f2 = fmap2.reshape(b, h * w, c)
     corr = jnp.einsum("bnc,bmc->bnm", f1, f2) / jnp.sqrt(jnp.asarray(c, f1.dtype))
+    if dtype is not None:
+        corr = corr.astype(dtype)
     corr = corr.reshape(b, h * w, h, w)
     pyramid = [corr]
     for _ in range(CORR_LEVELS - 1):
@@ -159,15 +200,21 @@ def build_corr_pyramid(fmap1: Array, fmap2: Array) -> Sequence[Array]:
             prev, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
         ) * 0.25
         pyramid.append(p)
+    if pad_for_lookup:
+        pyramid = [
+            jnp.pad(p, ((0, 0), (0, 0), (LOOKUP_PAD, LOOKUP_PAD),
+                        (LOOKUP_PAD, LOOKUP_PAD)))
+            for p in pyramid
+        ]
     return pyramid
 
 
-def lookup_corr(pyramid: Sequence[Array], coords: Array) -> Array:
-    """Radius-4 bilinear lookup in every pyramid level.
+def lookup_corr_gather(pyramid: Sequence[Array], coords: Array) -> Array:
+    """Radius-4 bilinear lookup via per-element XLA gathers.
 
-    :param coords: (B, H, W, 2) current correspondence estimates (x, y) in
-        1/8-res pixels
-    :return: (B, H, W, CORR_LEVELS * (2r+1)^2) correlation features
+    Reference semantics oracle (matches torch grid_sample zeros padding), but
+    lane-axis element gathers are ~20x slower than ``lookup_corr`` on TPU —
+    kept for testing only.
     """
     b, h, w, _ = coords.shape
     r = CORR_RADIUS
@@ -207,6 +254,77 @@ def lookup_corr(pyramid: Sequence[Array], coords: Array) -> Array:
     return jnp.concatenate(out, axis=-1)
 
 
+def lookup_corr(pyramid: Sequence[Array], coords: Array,
+                padded: bool = False) -> Array:
+    """Radius-4 bilinear lookup in every pyramid level (TPU-fast path).
+
+    TPU gathers along the minor (lane) axis are pathologically slow; this
+    implementation extracts each pixel's (2r+2)^2 integer window as a patch
+    via two batched sublane dynamic-slices (rows, then transpose + rows) and
+    applies the shared bilinear corner weights elementwise. Numerically
+    identical to ``lookup_corr_gather`` / torch grid_sample zeros-padding
+    semantics (validated in tests), ~20x faster. The padding of 2r+2 per side
+    guarantees window clamping only ever affects fully-masked (out-of-range)
+    windows.
+
+    :param coords: (B, H, W, 2) correspondence estimates (x, y), 1/8-res px
+    :return: (B, H, W, CORR_LEVELS * (2r+1)^2) correlation features
+    """
+    b, h, w, _ = coords.shape
+    n = h * w
+    r = CORR_RADIUS
+    d = 2 * r + 1
+    dp = d + 1  # patch size including both bilinear corners
+    pad = LOOKUP_PAD
+
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        _, _, hl, wl = corr.shape
+        if padded:
+            hl, wl = hl - 2 * pad, wl - 2 * pad
+        c = coords.reshape(b, n, 2) / (2 ** lvl)
+        cx, cy = c[..., 0], c[..., 1]
+        x0 = jnp.floor(cx)
+        y0 = jnp.floor(cy)
+        wx = (cx - x0)[..., None, None]
+        wy = (cy - y0)[..., None, None]
+        bxp = jnp.clip(x0.astype(jnp.int32) - r + pad, 0, wl + 2 * pad - dp)
+        byp = jnp.clip(y0.astype(jnp.int32) - r + pad, 0, hl + 2 * pad - dp)
+
+        if padded:
+            cpad = corr  # padded once by build_corr_pyramid(pad_for_lookup)
+        else:
+            cpad = jnp.pad(corr, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+        flat = cpad.reshape(b * n, hl + 2 * pad, wl + 2 * pad)
+
+        def rows(img, y):
+            return jax.lax.dynamic_slice_in_dim(img, y, dp, axis=0)
+
+        rblk = jax.vmap(rows)(flat, byp.reshape(-1))      # (BN, dp, wl+2pad)
+        rblk_t = jnp.swapaxes(rblk, 1, 2)                 # (BN, wl+2pad, dp)
+        patch = jax.vmap(rows)(rblk_t, bxp.reshape(-1))   # (BN, dp[x], dp[y])
+        patch = jnp.swapaxes(patch, 1, 2).reshape(b, n, dp, dp)  # [y, x]
+
+        p00 = patch[..., :d, :d]
+        p01 = patch[..., :d, 1:]
+        p10 = patch[..., 1:, :d]
+        p11 = patch[..., 1:, 1:]
+        wx = wx.astype(jnp.float32)
+        wy = wy.astype(jnp.float32)
+        val = (p00 * ((1 - wx) * (1 - wy)) + p01 * (wx * (1 - wy))
+               + p10 * ((1 - wx) * wy) + p11 * (wx * wy))
+
+        # zero samples whose bilinear support lies fully outside the image
+        dd = jnp.arange(d, dtype=c.dtype) - r
+        ty = cy[..., None] + dd[None, None]
+        tx = cx[..., None] + dd[None, None]
+        ok_y = (ty > -1.0) & (ty < hl)
+        ok_x = (tx > -1.0) & (tx < wl)
+        val = val * (ok_y[..., :, None] & ok_x[..., None, :])
+        outs.append(val.reshape(b, h, w, d * d))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def upsample_flow_convex(flow: Array, mask: Array) -> Array:
     """Convex-combination 8x upsampling of 1/8-res flow.
 
@@ -230,16 +348,24 @@ def upsample_flow_convex(flow: Array, mask: Array) -> Array:
 
 
 class _UpdateStep(nn.Module):
-    """One GRU iteration, shaped for ``nn.scan`` (carry, _) -> (carry, None)."""
+    """One GRU iteration, shaped for ``nn.scan``.
+
+    Loop invariants (correlation pyramid, context features, base coords)
+    arrive as ``nn.broadcast`` arguments — putting the ~400 MB pyramid in
+    the scan carry would thread a copy of it through every iteration."""
+
+    dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, carry, _):
-        corr = lookup_corr(carry["pyramid"], carry["coords1"])
-        flow = carry["coords1"] - carry["coords0"]
-        net, up_mask, delta = BasicUpdateBlock(name="update_block")(
-            carry["net"], carry["inp"], corr, flow
+    def __call__(self, carry, pyramid, inp, coords0):
+        corr = lookup_corr(pyramid, carry["coords1"], padded=True)
+        flow = carry["coords1"] - coords0
+        net, up_mask, delta = BasicUpdateBlock(dtype=self.dtype,
+                                               name="update_block")(
+            carry["net"], inp, corr, flow
         )
-        carry = dict(carry, net=net, coords1=carry["coords1"] + delta, up_mask=up_mask)
+        carry = dict(carry, net=net, coords1=carry["coords1"] + delta,
+                     up_mask=up_mask)
         return carry, None
 
 
@@ -253,6 +379,8 @@ class RAFT(nn.Module):
     """
 
     iters: int = 12
+    corr_dtype: Any = jnp.bfloat16
+    dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
 
     @nn.compact
     def __call__(self, image1: Array, image2: Array):
@@ -262,19 +390,23 @@ class RAFT(nn.Module):
         image1 = 2.0 * (image1 / 255.0) - 1.0
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
-        fnet = BasicEncoder(output_dim=256, norm="instance", name="fnet")
+        fnet = BasicEncoder(output_dim=256, norm="instance",
+                            dtype=self.dtype, name="fnet")
         # batching the two frames through the shared feature encoder mirrors
         # the reference (RAFT fnet([image1, image2]))
         fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = fmaps[:b], fmaps[b:]
 
-        cnet = BasicEncoder(output_dim=HDIM + CDIM, norm="batch", name="cnet")
+        cnet = BasicEncoder(output_dim=HDIM + CDIM, norm="batch",
+                            dtype=self.dtype, name="cnet")
         c = cnet(image1)
         net = nn.tanh(c[..., :HDIM])
         inp = nn.relu(c[..., HDIM:])
 
         pyramid = build_corr_pyramid(fmap1.astype(jnp.float32),
-                                     fmap2.astype(jnp.float32))
+                                     fmap2.astype(jnp.float32),
+                                     pad_for_lookup=True,
+                                     dtype=self.corr_dtype)
 
         xs = jnp.arange(w8, dtype=jnp.float32)
         ys = jnp.arange(h8, dtype=jnp.float32)
@@ -284,23 +416,23 @@ class RAFT(nn.Module):
         carry0 = {
             "net": net,
             "coords1": coords0,
-            "coords0": coords0,
-            "inp": inp,
-            "pyramid": pyramid,
-            "up_mask": jnp.zeros((b, h8, w8, 64 * 9), dtype=net.dtype),
+            "up_mask": jnp.zeros((b, h8, w8, 64 * 9), dtype=jnp.float32),
         }
 
         # recurrent update iterations as one compiled scan (hot loop A,
-        # SURVEY.md §3.1); params broadcast across iterations
+        # SURVEY.md §3.1); params and loop invariants broadcast across
+        # iterations (NOT carried)
         scan = nn.scan(
             _UpdateStep,
             variable_broadcast="params",
             split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.iters,
         )
-        carry, _ = scan(name="update")(carry0, None)
+        carry, _ = scan(dtype=self.dtype, name="update")(
+            carry0, pyramid, inp, coords0)
 
         flow_up = upsample_flow_convex(
             carry["coords1"] - coords0, carry["up_mask"]
         )
-        return flow_up, carry["net"], inp
+        return flow_up, carry["net"].astype(jnp.float32), inp.astype(jnp.float32)

@@ -14,7 +14,7 @@ Layout is NHWC (TPU-native); the PoseNet boundary transposes.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -25,24 +25,32 @@ Array = jax.Array
 
 class DownBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="norm")(x)
         x = nn.relu(x)
-        return nn.Conv(self.out_ch, (3, 3), padding="VALID", name="conv2")(x)
+        return nn.Conv(self.out_ch, (3, 3), padding="VALID", dtype=self.dtype,
+                       name="conv2")(x)
 
 
 class UpBlock(nn.Module):
     out_ch: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", name="conv1")(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding="VALID", dtype=self.dtype,
+                    name="conv1")(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
-        return nn.Conv(self.out_ch, (3, 3), padding="VALID", name="conv2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="norm")(x)
+        return nn.Conv(self.out_ch, (3, 3), padding="VALID", dtype=self.dtype,
+                       name="conv2")(x)
 
 
 def _center_crop(x: Array, h: int, w: int) -> Array:
@@ -58,12 +66,13 @@ class UNet(nn.Module):
     num_class: int = 1
     retain_dim: bool = False
     out_sz: Tuple[int, int] = (572, 572)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feats = []
         for i, ch in enumerate(self.enc_chs[1:]):
-            x = DownBlock(ch, name=f"enc{i}")(x, train)
+            x = DownBlock(ch, dtype=self.dtype, name=f"enc{i}")(x, train)
             feats.append(x)
             if i < len(self.enc_chs) - 2:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -74,12 +83,15 @@ class UNet(nn.Module):
             # transpose_kernel=True matches torch ConvTranspose2d semantics
             # (kernel layout (kh, kw, out, in); see utils/torch_convert.py)
             x = nn.ConvTranspose(ch, (2, 2), strides=(2, 2),
-                                 transpose_kernel=True, name=f"upconv{i}")(x)
+                                 transpose_kernel=True, dtype=self.dtype,
+                                 name=f"upconv{i}")(x)
             skip = _center_crop(feats[i + 1], x.shape[1], x.shape[2])
             x = jnp.concatenate([x, skip], axis=-1)
-            x = UpBlock(ch, name=f"dec{i}")(x, train)
+            x = UpBlock(ch, dtype=self.dtype, name=f"dec{i}")(x, train)
 
-        x = nn.Conv(self.num_class, (1, 1), name="head")(x)
+        # the 1x1 head + resize stay f32 (confidences feed the GN solver)
+        x = nn.Conv(self.num_class, (1, 1), dtype=jnp.float32,
+                    name="head")(x.astype(jnp.float32))
         if self.retain_dim:
             x = jax.image.resize(
                 x, (x.shape[0], *self.out_sz, x.shape[-1]), method="linear"
@@ -92,6 +104,7 @@ class TinyUNet(nn.Module):
 
     in_channels: int
     output_size: Tuple[int, int]
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -100,5 +113,6 @@ class TinyUNet(nn.Module):
             dec_chs=(64, 32, 16),
             out_sz=tuple(self.output_size),
             retain_dim=True,
+            dtype=self.dtype,
             name="unet",
         )(x, train)

@@ -141,33 +141,47 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
     xs = jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, xs
     )
-    pose0 = se3.identity((b,), dtype=dtype)
-    lam0 = jnp.full((b,), cfg.init_lambda, dtype=dtype)
-    cost0 = _cost(pose0, xs, img_coords)
-
     eye6 = jnp.eye(6, dtype=dtype)
 
-    def body(_, state):
-        pose, lam, cost = state
-        H, g, _ = _normal_equations(pose, xs, img_coords)
-        # Marquardt scaling: damp with lambda * diag(H) (+ small absolute floor)
+    def propose(H, g, lam, pose):
+        """LM step from (H, g) at ``pose`` with Marquardt diag damping."""
         diag = jnp.einsum("bii->bi", H)
         Hd = H + (lam[:, None] * diag + 1e-12)[..., None] * eye6
         delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
-        delta_ok = jnp.all(jnp.isfinite(delta), axis=-1)
-        delta = jnp.where(delta_ok[:, None], delta, 0.0)
+        delta = jnp.where(
+            jnp.all(jnp.isfinite(delta), axis=-1)[:, None], delta, 0.0
+        )
+        return se3.retract(delta, pose)
 
-        cand = se3.retract(delta, pose)
-        cand_cost = _cost(cand, xs, img_coords)
-        accept = (cand_cost < cost) & delta_ok
+    # deferred-acceptance LM: each iteration builds residuals exactly ONCE
+    # (at the trial point); the accepted point's normal equations are cached
+    # in the carry so rejected trials can re-propose from them with a larger
+    # damping factor. Halves the per-iteration residual evaluations vs the
+    # textbook accept/reject loop.
+    pose0 = se3.identity((b,), dtype=dtype)
+    H0, g0, cost0 = _normal_equations(pose0, xs, img_coords)
+    lam0 = jnp.full((b,), cfg.init_lambda, dtype=dtype)
+    trial0 = propose(H0, g0, lam0, pose0)
+    state0 = (pose0, cost0, H0, g0, lam0, trial0)
 
-        pose = jnp.where(accept[:, None], cand, pose)
-        cost = jnp.where(accept, cand_cost, cost)
+    def body(_, state):
+        pose, cost, H, g, lam, trial = state
+        H_t, g_t, cost_t = _normal_equations(trial, xs, img_coords)
+        accept = cost_t < cost
+
+        acc = lambda a, b_: jnp.where(
+            accept.reshape((-1,) + (1,) * (a.ndim - 1)), a, b_
+        )
+        pose = acc(trial, pose)
+        cost = jnp.where(accept, cost_t, cost)
+        H = acc(H_t, H)
+        g = acc(g_t, g)
         lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
         lam = jnp.clip(lam, 1e-9, 1e6)
-        return pose, lam, cost
+        trial = propose(H, g, lam, pose)
+        return pose, cost, H, g, lam, trial
 
-    pose, _, _ = jax.lax.fori_loop(0, cfg.iters, body, (pose0, lam0, cost0))
+    pose, *_ = jax.lax.fori_loop(0, cfg.iters, body, state0)
     pose = se3.normalize(pose)
     return pose, se3.log(pose)
 

@@ -149,3 +149,24 @@ def test_posenet_train_forward(posenet_and_params):
     out = jax.jit(model.apply)(variables, img1, img2, K2, bl2, img1r, img2r)
     assert out.pose_tan.shape == (2, 6)
     assert jnp.all(jnp.isfinite(out.pose_tan))
+
+
+def test_lookup_corr_fast_matches_gather_oracle():
+    """The TPU-fast sliced lookup must match the element-gather oracle,
+    including border and far-out-of-bounds coords (grid_sample zeros
+    semantics)."""
+    from robust_pose_tpu.models.raft import lookup_corr_gather
+
+    b, h8, w8, c = 2, 16, 24, 8
+    f1 = jax.random.normal(jax.random.PRNGKey(0), (b, h8, w8, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(1), (b, h8, w8, c))
+    pyr = build_corr_pyramid(f1, f2)
+    xg, yg = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
+                          jnp.arange(h8, dtype=jnp.float32), indexing="xy")
+    base = jnp.tile(jnp.stack([xg, yg], -1)[None], (b, 1, 1, 1))
+    for coords in (base + jnp.array([3.3, -2.7]),
+                   base * 3.0 - 50.0,
+                   base + 0.5):
+        ref = lookup_corr_gather(pyr, coords)
+        fast = lookup_corr(pyr, coords)
+        np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-5)
