@@ -85,7 +85,7 @@ class PoseEstimator:
         )
         frame = make_frame(limg, rimg, depth=depth / self.scale, mask=mask,
                            flow=stereo_flow)
-        return frame
+        return frame, valid
 
     def _track_step(self, variables, last_pose, last: Frame, limg, rimg, mask):
         """One tracking step; everything on device (reference
@@ -113,6 +113,18 @@ class PoseEstimator:
     # host API
     # ------------------------------------------------------------------
 
+    def _init_scene(self, frame: Frame):
+        """Initialize the surfel map from the first frame
+        (reference pose_estimator.py:68-77)."""
+        from robust_pose_tpu.slam.surfel_map import SurfelMap
+
+        self.scene = SurfelMap(
+            frame, jnp.asarray(self.intrinsics[0]),
+            config={"dist_thr": self.config.get("dist_thr", 0.05),
+                    "average_pts": self.config.get("average_pts", True)},
+            pmat=self.last_pose[0],
+        )
+
     def __call__(self, limg, rimg, mask):
         """Estimate the absolute camera pose for a new stereo frame.
 
@@ -126,21 +138,41 @@ class PoseEstimator:
         mask = jnp.asarray(mask, bool)
 
         if self.last_frame is None and self.frame is None:
-            self.frame = self._jit_first(self.variables, limg, rimg, mask)
+            self.frame, valid = self._jit_first(self.variables, limg, rimg, mask)
             self.last_frame = None
             self.success = True
+            if not self.frame2frame:
+                # scene init also rejects invalid-depth pixels
+                # (reference pose_estimator.py:73)
+                self._init_scene(self.frame.replace(mask=self.frame.mask & valid))
             return self.last_pose, self.scene, None, None
 
         self.last_frame = self.frame
+        if self.frame2frame:
+            reference_frame = self.frame
+        else:
+            # frame-to-model: render the reference view from the surfel map
+            # transformed into the last camera frame
+            # (reference pose_estimator.py:127-144 ``get_pose_f2m``)
+            scene_tlast = self.scene.transform_cpy(se3.inv(self.last_pose[0]))
+            model_frame = scene_tlast.render(self.intrinsics[0])
+            reference_frame = model_frame.replace(
+                rimg=self.frame.rimg,
+                flow=jnp.zeros_like(self.frame.flow),
+            )
+
         new_pose, frame, out, success = self._jit_step(
-            self.variables, self.last_pose, self.last_frame, limg, rimg, mask
+            self.variables, self.last_pose, reference_frame, limg, rimg, mask
         )
         self.last_pose = new_pose
         self.frame = frame
         self.success = success
+        if not self.frame2frame:
+            # keep the rendered model frame inspectable with its confidences
+            self.last_frame = reference_frame.replace(confidence=out.conf1)
 
         if self.scene is not None and bool(success):
-            self.scene.fuse(frame, new_pose)
+            self.scene.fuse(frame, new_pose[0])
         return self.last_pose, self.scene, out.flow, (out.conf1, out.conf2)
 
     def get_last_frame(self):

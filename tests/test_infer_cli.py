@@ -1,0 +1,100 @@
+"""End-to-end test of the infer_trajectory CLI path on a synthetic on-disk
+dataset (PNG frames + masks + json calibration + groundtruth), mirroring the
+reference's primary entry point (scripts/infer_trajectory.py)."""
+import json
+import os
+import sys
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+H, W = 64, 96
+N_FRAMES = 5
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seq")
+    (root / "video_frames").mkdir()
+    (root / "masks").mkdir()
+    rng = np.random.default_rng(0)
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (H, W + 32, 3)).astype(np.float32), (0, 0), 2
+    ).astype(np.uint8)
+
+    cal = {"data": {"width": W, "height": H, "intrinsics": [
+        {"f": [100.0, 100.0], "c": [W / 2, H / 2], "k": [0, 0, 0, 0, 0]},
+        {"f": [100.0, 100.0], "c": [W / 2, H / 2], "k": [0, 0, 0, 0, 0]}],
+        "extrinsics": {"T": [-3.0, 0.0, 0.0], "om": [0.0, 0.0, 0.0]}}}
+    with open(root / "camcal.json", "w") as f:
+        json.dump(cal, f)
+
+    lines = []
+    for i in range(1, N_FRAMES + 1):
+        l = base[:, 2 * i:2 * i + W]
+        r = base[:, 2 * i + 3:2 * i + 3 + W]
+        cv2.imwrite(str(root / "video_frames" / f"{i:06d}l.png"),
+                    cv2.cvtColor(l, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(root / "video_frames" / f"{i:06d}r.png"),
+                    cv2.cvtColor(r, cv2.COLOR_RGB2BGR))
+        cv2.imwrite(str(root / "masks" / f"{i:06d}l.png"),
+                    np.full((H, W), 255, np.uint8))
+        lines.append(f"{i} {0.001 * i} 0.0 0.0 0.0 0.0 0.0 1.0")
+    with open(root / "groundtruth.txt", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def checkpoint_dir(tmp_path_factory):
+    from robust_pose_tpu.models.posenet import PoseNet
+    from robust_pose_tpu.utils.checkpoints import save_checkpoint
+
+    model_cfg = {"image_shape": (H, W), "iters": 2, "lbgfs_iters": 5,
+                 "use_weights": False}
+    model = PoseNet(model_cfg)
+    img = jnp.zeros((1, 3, H, W))
+    K = jnp.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])[None]
+    variables = model.init(jax.random.PRNGKey(0), img, img, K,
+                           jnp.asarray([1.0]), img, img)
+    variables["params"]["flow"]["update"]["update_block"]["flow_head"][
+        "conv2"]["bias"] = jnp.array([-2.5, 0.0])
+    d = tmp_path_factory.mktemp("ckpt") / "posenet"
+    save_checkpoint(str(d), variables, {"model": model_cfg})
+    return str(d)
+
+
+def test_infer_trajectory_main(dataset_dir, checkpoint_dir, tmp_path):
+    from scripts.infer_trajectory import main
+
+    class Args:
+        input = dataset_dir
+        checkpoint = checkpoint_dir
+        outpath = str(tmp_path / "out")
+        start, stop, step = 0, 10000, 1
+        log = None
+        viewer = "none"
+        block_viewer = False
+
+    config = {
+        "slam": {"frame2frame": True, "checkpoint": None, "dist_thr": 0.05,
+                 "depth_clipping": [1, 250], "debug": False,
+                 "conf_weighing": False, "average_pts": False,
+                 "lbgfs_iters": 5},
+        "img_size": [W, H],
+        "rect_mode": "conventional",
+    }
+    outpath = main(Args, config)
+
+    traj_file = os.path.join(outpath, "trajectory.freiburg")
+    assert os.path.isfile(traj_file)
+    from robust_pose_tpu.utils.trajectory import read_freiburg
+    poses, stamps = read_freiburg(traj_file, ret_stamps=True)
+    # init + one per frame
+    assert len(poses) == N_FRAMES + 1
+    assert np.all(np.isfinite(poses))

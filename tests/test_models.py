@@ -168,5 +168,8 @@ def test_lookup_corr_fast_matches_gather_oracle():
                    base * 3.0 - 50.0,
                    base + 0.5):
         ref = lookup_corr_gather(pyr, coords)
-        fast = lookup_corr(pyr, coords)
+        fast = lookup_corr(pyr, coords, precise=True)
         np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-5)
+        # default (weights folded into the volume dtype) stays close in f32
+        approx = lookup_corr(pyr, coords)
+        np.testing.assert_allclose(approx, ref, rtol=1e-3, atol=1e-3)

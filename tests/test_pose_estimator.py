@@ -1,0 +1,91 @@
+"""PoseEstimator integration tests: frame-to-frame and frame-to-model
+tracking loops on small synthetic stereo sequences (conf_weighing off -> the
+reference's infer_f2f_nw mode, which permits small image sizes)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from robust_pose_tpu.models.posenet import PoseNet
+from robust_pose_tpu.slam.pose_estimator import PoseEstimator
+
+H, W = 64, 96
+
+
+@pytest.fixture(scope="module")
+def checkpoint():
+    model_cfg = {"image_shape": (H, W), "iters": 2, "lbgfs_iters": 5,
+                 "use_weights": False}
+    model = PoseNet(model_cfg)
+    img = jnp.zeros((1, 3, H, W))
+    K = jnp.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])[None]
+    variables = model.init(jax.random.PRNGKey(0), img, img, K,
+                           jnp.asarray([30.0]), img, img)
+    # bias the flow head so the untrained net produces valid disparity
+    # (see tests/test_training.py)
+    variables["params"]["flow"]["update"]["update_block"]["flow_head"][
+        "conv2"]["bias"] = jnp.array([-2.5, 0.0])
+    return {"params": variables, "config": {"model": model_cfg}}
+
+
+def _frames(n=4):
+    rng = np.random.default_rng(0)
+    import cv2
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (H, W + 32, 3)).astype(np.float32), (0, 0), 2)
+    out = []
+    for i in range(n):
+        l = base[:, 2 * i:2 * i + W]
+        r = base[:, 2 * i + 3:2 * i + 3 + W]
+        out.append((l.transpose(2, 0, 1)[None], r.transpose(2, 0, 1)[None]))
+    return out
+
+
+def _slam_cfg(f2f=True):
+    return {"frame2frame": f2f, "lbgfs_iters": 5, "conf_weighing": False,
+            "depth_clipping": [1, 250], "dist_thr": 50.0, "average_pts": False}
+
+
+def test_f2f_tracking_loop(checkpoint):
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    est = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                        checkpoint=checkpoint, img_shape=(W, H))
+    mask = np.ones((1, 1, H, W), bool)
+    poses = []
+    for limg, rimg in _frames(4):
+        pose, scene, flow, weights = est(limg, rimg, mask)
+        p = np.asarray(pose[0])
+        assert np.all(np.isfinite(p))
+        np.testing.assert_allclose(np.linalg.norm(p[3:]), 1.0, rtol=1e-4)
+        poses.append(p)
+    assert scene is None, "f2f mode must not build a surfel map"
+    # first pose is the init pose (identity)
+    np.testing.assert_allclose(poses[0], [0, 0, 0, 0, 0, 0, 1.0], atol=1e-6)
+
+
+def test_f2m_tracking_loop(checkpoint):
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    est = PoseEstimator(_slam_cfg(False), K, baseline=7500.0,
+                        checkpoint=checkpoint, img_shape=(W, H))
+    mask = np.ones((1, 1, H, W), bool)
+    for i, (limg, rimg) in enumerate(_frames(3)):
+        pose, scene, flow, weights = est(limg, rimg, mask)
+        assert np.all(np.isfinite(np.asarray(pose)))
+    assert scene is not None, "f2m mode must maintain a surfel map"
+    assert scene.n_active > 0
+    # the rendered model frame is exposed as the reference frame
+    mf = est.get_last_frame()
+    assert mf is not None
+    assert np.all(np.isfinite(np.asarray(mf.depth)))
+
+
+def test_init_pose_offset(checkpoint):
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    init = np.array([5.0, -3.0, 2.0, 0, 0, 0, 1.0], np.float32)
+    est = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                        checkpoint=checkpoint, img_shape=(W, H),
+                        init_pose=init)
+    mask = np.ones((1, 1, H, W), bool)
+    (limg, rimg), *_ = _frames(1)
+    pose, *_ = est(limg, rimg, mask)
+    np.testing.assert_allclose(np.asarray(pose[0]), init, atol=1e-6)
