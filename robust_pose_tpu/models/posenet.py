@@ -68,6 +68,7 @@ class PoseNet(nn.Module):
             iters=self.config.get("iters", 12),
             dtype=jnp.bfloat16 if mp else jnp.float32,
             corr_dtype=jnp.bfloat16 if mp else jnp.float32,
+            small=self.config.get("small", False),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)

@@ -53,6 +53,8 @@ class ResidualBlock(nn.Module):
         elif self.norm == "batch":
             return nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                 name=name)
+        elif self.norm == "none":
+            return lambda x: x
         else:
             raise ValueError(self.norm)
 
@@ -98,13 +100,45 @@ class BasicEncoder(nn.Module):
                        name="conv2")(x)
 
 
+class _SplitConv1x1(nn.Module):
+    """1x1 conv applied to a channel-concatenation WITHOUT materializing the
+    concat: the kernel is sliced per input part and the partial products are
+    summed. Parameter layout is identical to ``nn.Conv`` (kernel
+    (1, 1, Cin, Cout) + bias) so checkpoints are interchangeable. Avoids the
+    ~13 ms/step relayout DMA the 324-channel corr concat costs on TPU."""
+
+    features: int
+    in_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, self.in_channels, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        out = None
+        off = 0
+        for part in parts:
+            ci = part.shape[-1]
+            k = kernel[0, 0, off:off + ci].astype(self.dtype)
+            y = jnp.einsum("bhwc,cf->bhwf", part.astype(self.dtype), k)
+            out = y if out is None else out + y
+            off += ci
+        assert off == self.in_channels, (off, self.in_channels)
+        return out + bias.astype(self.dtype)
+
+
 class BasicMotionEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, flow, corr):
         dt = self.dtype
-        c = nn.relu(nn.Conv(256, (1, 1), dtype=dt, name="convc1")(corr))
+        corr_parts = corr if isinstance(corr, (list, tuple)) else [corr]
+        cin = sum(p.shape[-1] for p in corr_parts)
+        c = nn.relu(_SplitConv1x1(256, cin, dtype=dt, name="convc1")(corr_parts))
         c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt, name="convc2")(c))
         f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt, name="convf1")(flow))
         f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt, name="convf2")(f))
@@ -156,8 +190,10 @@ class BasicUpdateBlock(nn.Module):
     @nn.compact
     def __call__(self, net, inp, corr, flow):
         dt = self.dtype
+        corr = [c.astype(dt) for c in corr] if isinstance(corr, (list, tuple)) \
+            else corr.astype(dt)
         motion = BasicMotionEncoder(dtype=dt, name="encoder")(
-            flow.astype(dt), corr.astype(dt))
+            flow.astype(dt), corr)
         net = SepConvGRU(dtype=dt, name="gru")(
             net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
         delta_flow = FlowHead(dtype=dt, name="flow_head")(net)
@@ -166,6 +202,93 @@ class BasicUpdateBlock(nn.Module):
         up_mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=jnp.float32,
                                  name="mask_conv2")(m.astype(jnp.float32))
         return net, up_mask, delta_flow
+
+
+class SmallEncoder(nn.Module):
+    """Small feature/context encoder (upstream RAFT small=True variant:
+    32/64/96 bottleneck channels, output_dim at 1/8 res)."""
+
+    output_dim: int = 128
+    norm: str = "instance"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (7, 7), strides=2, padding=3, dtype=self.dtype,
+                    name="conv1")(x)
+        if self.norm == "instance":
+            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
+                             use_scale=False, dtype=self.dtype, name="norm1")(x)
+        elif self.norm == "batch":
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
+                             name="norm1")(x)
+        x = nn.relu(x)
+        for i, (planes, stride) in enumerate([(32, 1), (64, 2), (96, 2)]):
+            x = ResidualBlock(planes, self.norm, stride, dtype=self.dtype,
+                              name=f"layer{i+1}_0")(x)
+            x = ResidualBlock(planes, self.norm, 1, dtype=self.dtype,
+                              name=f"layer{i+1}_1")(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                       name="conv2")(x)
+
+
+class SmallMotionEncoder(nn.Module):
+    """Motion encoder of the small update block (corr 1x1 -> 96, flow 7x7 ->
+    64 -> 32, joint 3x3 -> 80, concat flow -> 82)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, flow, corr):
+        dt = self.dtype
+        corr_parts = corr if isinstance(corr, (list, tuple)) else [corr]
+        cin = sum(p.shape[-1] for p in corr_parts)
+        c = nn.relu(_SplitConv1x1(96, cin, dtype=dt, name="convc1")(corr_parts))
+        f = nn.relu(nn.Conv(64, (7, 7), padding=3, dtype=dt, name="convf1")(flow))
+        f = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=dt, name="convf2")(f))
+        out = nn.relu(nn.Conv(80, (3, 3), padding=1, dtype=dt, name="conv")(
+            jnp.concatenate([c, f], axis=-1)))
+        return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
+
+
+class ConvGRU(nn.Module):
+    """Plain 3x3 ConvGRU (small update block)."""
+
+    hidden_dim: int = 96
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        dt = self.dtype
+        h = h.astype(dt)
+        x = x.astype(dt)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
+                               name="convz")(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
+                               name="convr")(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
+                            name="convq")(jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class SmallUpdateBlock(nn.Module):
+    """Small update operator: no convex-upsampling mask head (flow is
+    bilinearly upsampled instead)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, net, inp, corr, flow):
+        dt = self.dtype
+        corr = [c.astype(dt) for c in corr] if isinstance(corr, (list, tuple)) \
+            else corr.astype(dt)
+        motion = SmallMotionEncoder(dtype=dt, name="encoder")(
+            flow.astype(dt), corr)
+        net = ConvGRU(hidden_dim=96, dtype=dt, name="gru")(
+            net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
+        delta_flow = FlowHead(dtype=dt, name="flow_head")(net)
+        return net, None, delta_flow
 
 
 # ---------------------------------------------------------------------------
@@ -197,10 +320,15 @@ def build_corr_pyramid(fmap1: Array, fmap2: Array,
     pyramid = [corr]
     for _ in range(CORR_LEVELS - 1):
         prev = pyramid[-1]
-        # 2x2/2 average pool with floor semantics (torch avg_pool2d)
-        p = jax.lax.reduce_window(
-            prev, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
-        ) * 0.25
+        bq, n_, hl, wl = prev.shape
+        if hl % 2 == 0 and wl % 2 == 0:
+            # reshape-mean (reduce_window is ~50x slower on TPU here)
+            p = prev.reshape(bq, n_, hl // 2, 2, wl // 2, 2).mean(axis=(3, 5))
+        else:
+            # 2x2/2 average pool with floor semantics (torch avg_pool2d)
+            p = jax.lax.reduce_window(
+                prev, 0.0, jax.lax.add, (1, 1, 2, 2), (1, 1, 2, 2), "VALID"
+            ) * 0.25
         pyramid.append(p)
     if pad_for_lookup:
         pyramid = [
@@ -257,7 +385,8 @@ def lookup_corr_gather(pyramid: Sequence[Array], coords: Array) -> Array:
 
 
 def lookup_corr(pyramid: Sequence[Array], coords: Array,
-                padded: bool = False, precise: bool = False) -> Array:
+                padded: bool = False, precise: bool = False,
+                as_list: bool = False, radius: int = CORR_RADIUS) -> Array:
     """Radius-4 bilinear lookup in every pyramid level (TPU-fast path).
 
     TPU gathers along minor axes are pathologically slow (~190 ms/lookup at
@@ -278,7 +407,7 @@ def lookup_corr(pyramid: Sequence[Array], coords: Array,
     """
     b, h, w, _ = coords.shape
     n = h * w
-    r = CORR_RADIUS
+    r = radius
     d = 2 * r + 1
     dd = jnp.arange(d, dtype=jnp.int32) - r
 
@@ -308,6 +437,8 @@ def lookup_corr(pyramid: Sequence[Array], coords: Array,
         A = jnp.einsum("bnih,bnhw->bniw", Wy, corr, precision=prec)
         val = jnp.einsum("bniw,bnjw->bnij", A, Wx, precision=prec)
         outs.append(val.astype(jnp.float32).reshape(b, h, w, d * d))
+    if as_list:
+        return outs
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -341,17 +472,20 @@ class _UpdateStep(nn.Module):
     the scan carry would thread a copy of it through every iteration."""
 
     dtype: Any = jnp.float32
+    small: bool = False
 
     @nn.compact
     def __call__(self, carry, pyramid, inp, coords0):
-        corr = lookup_corr(pyramid, carry["coords1"])
+        corr = lookup_corr(pyramid, carry["coords1"], as_list=True,
+                           radius=3 if self.small else CORR_RADIUS)
         flow = carry["coords1"] - coords0
-        net, up_mask, delta = BasicUpdateBlock(dtype=self.dtype,
-                                               name="update_block")(
+        block = SmallUpdateBlock if self.small else BasicUpdateBlock
+        net, up_mask, delta = block(dtype=self.dtype, name="update_block")(
             carry["net"], inp, corr, flow
         )
-        carry = dict(carry, net=net, coords1=carry["coords1"] + delta,
-                     up_mask=up_mask)
+        if up_mask is not None:
+            carry = dict(carry, up_mask=up_mask)
+        carry = dict(carry, net=net, coords1=carry["coords1"] + delta)
         return carry, None
 
 
@@ -367,27 +501,32 @@ class RAFT(nn.Module):
     iters: int = 12
     corr_dtype: Any = jnp.bfloat16
     dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
+    small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
 
     @nn.compact
     def __call__(self, image1: Array, image2: Array):
         b, h, w, _ = image1.shape
         h8, w8 = h // 8, w // 8
+        hdim = 96 if self.small else HDIM
+        cdim = 64 if self.small else CDIM
 
         image1 = 2.0 * (image1 / 255.0) - 1.0
         image2 = 2.0 * (image2 / 255.0) - 1.0
 
-        fnet = BasicEncoder(output_dim=256, norm="instance",
-                            dtype=self.dtype, name="fnet")
+        enc_cls = SmallEncoder if self.small else BasicEncoder
+        fnet = enc_cls(output_dim=128 if self.small else 256, norm="instance",
+                       dtype=self.dtype, name="fnet")
         # batching the two frames through the shared feature encoder mirrors
         # the reference (RAFT fnet([image1, image2]))
         fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
         fmap1, fmap2 = fmaps[:b], fmaps[b:]
 
-        cnet = BasicEncoder(output_dim=HDIM + CDIM, norm="batch",
-                            dtype=self.dtype, name="cnet")
+        cnet = enc_cls(output_dim=hdim + cdim,
+                       norm="none" if self.small else "batch",
+                       dtype=self.dtype, name="cnet")
         c = cnet(image1)
-        net = nn.tanh(c[..., :HDIM])
-        inp = nn.relu(c[..., HDIM:])
+        net = nn.tanh(c[..., :hdim])
+        inp = nn.relu(c[..., hdim:])
 
         pyramid = build_corr_pyramid(fmap1.astype(jnp.float32),
                                      fmap2.astype(jnp.float32),
@@ -414,10 +553,14 @@ class RAFT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.iters,
         )
-        carry, _ = scan(dtype=self.dtype, name="update")(
+        carry, _ = scan(dtype=self.dtype, small=self.small, name="update")(
             carry0, pyramid, inp, coords0)
 
-        flow_up = upsample_flow_convex(
-            carry["coords1"] - coords0, carry["up_mask"]
-        )
+        flow8 = carry["coords1"] - coords0
+        if self.small:
+            # no convex mask in the small variant: bilinear 8x upsample
+            flow_up = 8.0 * jax.image.resize(
+                flow8, (b, h, w, 2), method="linear", antialias=False)
+        else:
+            flow_up = upsample_flow_convex(flow8, carry["up_mask"])
         return flow_up, carry["net"].astype(jnp.float32), inp.astype(jnp.float32)

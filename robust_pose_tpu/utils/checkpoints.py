@@ -52,3 +52,33 @@ def load_checkpoint_any(path: str) -> Dict:
         from robust_pose_tpu.utils.torch_convert import convert_posenet_pth
         return convert_posenet_pth(path)
     raise ValueError(f"unrecognized checkpoint: {path}")
+
+
+# ---------------------------------------------------------------------------
+# full training-state checkpoints (params + batch_stats + optimizer state)
+# ---------------------------------------------------------------------------
+
+def save_train_state(path: str, state) -> None:
+    """Orbax checkpoint of a TrainState (async-capable, atomic renames).
+
+    The reference only ever checkpoints model weights (train_posenet.py:150),
+    so optimizer state is lost on resume; this preserves it.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_train_state(path: str, target):
+    """Restore a TrainState saved by save_train_state.
+
+    :param target: a template TrainState (e.g. from trainer.init_state) that
+        provides the tree structure and array dtypes
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(path, item=target)

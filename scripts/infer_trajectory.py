@@ -68,6 +68,9 @@ def main(args, config):
     recorder = InferenceLogger(log=args.log)
     recorder.set_gt(gt_trajectory)
 
+    from robust_pose_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
+
     trajectory = [{"camera-pose": np.asarray(pose_estimator.last_pose[0]),
                    "timestamp": args.start}]
     scene = None
@@ -76,18 +79,22 @@ def main(args, config):
             limg, rimg, mask, pose_kinematics, img_number = data
         else:
             limg, rimg, mask, img_number = data
-        pose, scene, flow, weights = pose_estimator(
-            limg[None] if limg.ndim == 3 else limg,
-            rimg[None] if rimg.ndim == 3 else rimg,
-            mask[None] if mask.ndim == 3 else mask,
-        )
-        pose_np = np.asarray(pose[0])
+        with timer.stage("track"):
+            pose, scene, flow, weights = pose_estimator(
+                limg[None] if limg.ndim == 3 else limg,
+                rimg[None] if rimg.ndim == 3 else rimg,
+                mask[None] if mask.ndim == 3 else mask,
+            )
+        with timer.stage("readback"):
+            pose_np = np.asarray(pose[0])
         trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
         if viewer is not None and i > 0:
             viewer(pose_estimator.get_frame(), weights, flow, i * args.step)
         if args.log is not None and i > 0:
             recorder(scene, pose_np, step=int(img_number))
 
+    if getattr(args, "profile", False):
+        print("per-frame stages:", timer.report())
     save_trajectory(trajectory, args.outpath)
     if scene is not None:
         scene.save_ply(os.path.join(args.outpath, "stable_map.ply"), stable=True)
@@ -128,6 +135,8 @@ if __name__ == "__main__":
     parser.add_argument("--viewer", default="none",
                         choices=["none", "2d", "3d", "video"])
     parser.add_argument("--block_viewer", action="store_true")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-frame stage timing")
     args = parser.parse_args()
 
     if args.device == "cpu":

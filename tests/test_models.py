@@ -173,3 +173,20 @@ def test_lookup_corr_fast_matches_gather_oracle():
         # default (weights folded into the volume dtype) stays close in f32
         approx = lookup_corr(pyr, coords)
         np.testing.assert_allclose(approx, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_raft_small_variant():
+    """Upstream RAFT small=True variant (hdim 96, cdim 64, radius-3 lookup,
+    bilinear upsampling) — reference config key model.small."""
+    model = RAFT(iters=2, small=True)
+    img = jnp.zeros((1, H, W, 3))
+    variables = model.init(jax.random.PRNGKey(0), img, img)
+    flow, net, inp = jax.jit(model.apply)(
+        variables,
+        255.0 * jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3)),
+        255.0 * jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3)),
+    )
+    assert flow.shape == (1, H, W, 2)
+    assert net.shape == (1, H // 8, W // 8, 96)
+    assert inp.shape == (1, H // 8, W // 8, 64)
+    assert jnp.all(jnp.isfinite(flow))

@@ -157,3 +157,14 @@ def test_zero_grad_fallback_on_degenerate_problem():
     g = jax.jit(jax.grad(loss_fn))(xs.loss_weight)
     assert jnp.all(jnp.isfinite(g))
     np.testing.assert_allclose(g, 0.0, atol=1e-12)
+
+
+def test_solver_under_debug_nans():
+    """NaN-guard: the solver must not produce NaNs on a well-posed problem
+    even with jax.debug_nans active (reference analogue: autograd anomaly
+    mode, tests/unit_test_pose_head.py:58)."""
+    xs, poses, coords = _make_problem(jax.random.PRNGKey(12345))
+    cfg = SolverConfig(iters=10)
+    with jax.debug_nans(True):
+        solved, tau = solve_pose(xs, coords, cfg)
+        assert jnp.all(jnp.isfinite(solved))

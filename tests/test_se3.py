@@ -117,3 +117,17 @@ def test_transform_gradients_match_reference_analytic():
     analytic_w = jnp.sum(jnp.cross(out, ones), axis=1)
     analytic = jnp.concatenate([analytic_v, analytic_w], axis=-1)
     np.testing.assert_allclose(auto, analytic, rtol=1e-3, atol=1e-4)
+
+
+def test_image_ops():
+    from robust_pose_tpu.ops.image import batched_dot_product, beye, image_gradient
+
+    img = jnp.tile(jnp.arange(8.0)[None, None, None, :], (1, 1, 6, 1))
+    g = image_gradient(img)
+    assert g.shape == (1, 2, 6, 8)
+    # horizontal ramp: d/dx = -8 under this Sobel orientation, d/dy = 0
+    np.testing.assert_allclose(g[0, 0, 2:-2, 2:-2], -8.0, atol=1e-5)
+    np.testing.assert_allclose(g[0, 1, 2:-2, 2:-2], 0.0, atol=1e-5)
+    a = jnp.ones((2, 5, 3))
+    assert batched_dot_product(a, a).shape == (2, 5, 1)
+    assert beye(4, 6).shape == (4, 6, 6)

@@ -91,3 +91,19 @@ def test_grad_norm_nonzero(trainer_and_state):
     batch = shard_batch(mesh, _batch(jax.random.PRNGKey(4)))
     _, metrics = step(state, batch)
     assert float(metrics["train/grad_norm"]) > 0.0
+
+
+def test_train_state_checkpoint_roundtrip(trainer_and_state, tmp_path):
+    from robust_pose_tpu.utils.checkpoints import (
+        load_train_state,
+        save_train_state,
+    )
+
+    trainer, state, mesh = trainer_and_state
+    p = str(tmp_path / "state")
+    save_train_state(p, state)
+    restored = load_train_state(p, state)
+    a = state.params["loss_weight"]
+    b = restored.params["loss_weight"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(restored.step) == int(state.step)
