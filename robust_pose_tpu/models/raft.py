@@ -473,11 +473,16 @@ class _UpdateStep(nn.Module):
 
     dtype: Any = jnp.float32
     small: bool = False
+    pallas_lookup: bool = False
 
     @nn.compact
     def __call__(self, carry, pyramid, inp, coords0):
-        corr = lookup_corr(pyramid, carry["coords1"], as_list=True,
-                           radius=3 if self.small else CORR_RADIUS)
+        if self.pallas_lookup and not self.small:
+            from robust_pose_tpu.ops.pallas_lookup import pallas_lookup_pyramid
+            corr = pallas_lookup_pyramid(pyramid, carry["coords1"])
+        else:
+            corr = lookup_corr(pyramid, carry["coords1"], as_list=True,
+                               radius=3 if self.small else CORR_RADIUS)
         flow = carry["coords1"] - coords0
         block = SmallUpdateBlock if self.small else BasicUpdateBlock
         net, up_mask, delta = block(dtype=self.dtype, name="update_block")(
@@ -502,6 +507,9 @@ class RAFT(nn.Module):
     corr_dtype: Any = jnp.bfloat16
     dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
     small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
+    pallas_lookup: bool = False  # Pallas window-lookup kernel (see
+    # ops/pallas_lookup.py; currently slower than the XLA one-hot matmul
+    # path on v5e — issue-bound per-pixel matmuls — kept for iteration)
 
     @nn.compact
     def __call__(self, image1: Array, image2: Array):
@@ -553,7 +561,8 @@ class RAFT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.iters,
         )
-        carry, _ = scan(dtype=self.dtype, small=self.small, name="update")(
+        carry, _ = scan(dtype=self.dtype, small=self.small,
+                        pallas_lookup=self.pallas_lookup, name="update")(
             carry0, pyramid, inp, coords0)
 
         flow8 = carry["coords1"] - coords0

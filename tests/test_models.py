@@ -190,3 +190,23 @@ def test_raft_small_variant():
     assert net.shape == (1, H // 8, W // 8, 96)
     assert inp.shape == (1, H // 8, W // 8, 64)
     assert jnp.all(jnp.isfinite(flow))
+
+
+def test_pallas_lookup_matches_oracle_interpret():
+    """Pallas correlation-lookup kernel (interpret mode) vs gather oracle,
+    including out-of-bounds windows."""
+    from robust_pose_tpu.models.raft import lookup_corr_gather
+    from robust_pose_tpu.ops.pallas_lookup import pallas_lookup_pyramid
+
+    b, h8, w8, c = 2, 16, 24, 8
+    f1 = jax.random.normal(jax.random.PRNGKey(0), (b, h8, w8, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(1), (b, h8, w8, c))
+    pyr = build_corr_pyramid(f1, f2)
+    xg, yg = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
+                          jnp.arange(h8, dtype=jnp.float32), indexing="xy")
+    base = jnp.tile(jnp.stack([xg, yg], -1)[None], (b, 1, 1, 1))
+    for coords in (base + jnp.array([3.3, -2.7]), base * 3.0 - 50.0):
+        ref = lookup_corr_gather(pyr, coords)
+        out = jnp.concatenate(
+            pallas_lookup_pyramid(pyr, coords, interpret=True), axis=-1)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)

@@ -168,3 +168,27 @@ def test_solver_under_debug_nans():
     with jax.debug_nans(True):
         solved, tau = solve_pose(xs, coords, cfg)
         assert jnp.all(jnp.isfinite(solved))
+
+
+def test_generic_declarative_layer():
+    """Generic implicit-diff layer (solver/declarative.py) on a quadratic
+    argmin: y*(x) = x/2 for E = |y|^2 + |y - x|^2 -> dy*/dx = 1/2."""
+    from robust_pose_tpu.solver.declarative import make_declarative_layer
+
+    def objective(xs, y):
+        return jnp.sum(y ** 2, -1) + jnp.sum((y - xs) ** 2, -1)
+
+    def solve(xs):
+        return xs / 2.0
+
+    layer = make_declarative_layer(solve, objective)
+    x = jnp.array([[1.0, -2.0, 3.0]])
+    y = layer(x)
+    np.testing.assert_allclose(y, x / 2)
+    g = jax.grad(lambda x_: jnp.sum(layer(x_)))(x)
+    np.testing.assert_allclose(g, 0.5 * jnp.ones_like(x), atol=1e-5)
+
+    # non-converged solve -> zero grads (reference zero-grad fallback)
+    bad_layer = make_declarative_layer(lambda xs: xs * 0 + 7.0, objective)
+    gbad = jax.grad(lambda x_: jnp.sum(bad_layer(x_)))(x)
+    np.testing.assert_allclose(gbad, 0.0, atol=1e-12)
