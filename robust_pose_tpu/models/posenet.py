@@ -69,6 +69,7 @@ class PoseNet(nn.Module):
             dtype=jnp.bfloat16 if mp else jnp.float32,
             corr_dtype=jnp.bfloat16 if mp else jnp.float32,
             small=self.config.get("small", False),
+            pallas_lookup=self.config.get("pallas_lookup", False),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)

@@ -478,8 +478,10 @@ class _UpdateStep(nn.Module):
     @nn.compact
     def __call__(self, carry, pyramid, inp, coords0):
         if self.pallas_lookup and not self.small:
-            from robust_pose_tpu.ops.pallas_lookup import pallas_lookup_pyramid
-            corr = pallas_lookup_pyramid(pyramid, carry["coords1"])
+            from robust_pose_tpu.ops.pallas_lookup import (
+                pallas_lookup_pyramid_grouped,
+            )
+            corr = pallas_lookup_pyramid_grouped(pyramid, carry["coords1"])
         else:
             corr = lookup_corr(pyramid, carry["coords1"], as_list=True,
                                radius=3 if self.small else CORR_RADIUS)

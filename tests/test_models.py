@@ -205,8 +205,14 @@ def test_pallas_lookup_matches_oracle_interpret():
     xg, yg = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
                           jnp.arange(h8, dtype=jnp.float32), indexing="xy")
     base = jnp.tile(jnp.stack([xg, yg], -1)[None], (b, 1, 1, 1))
+    from robust_pose_tpu.ops.pallas_lookup import pallas_lookup_pyramid_grouped
+
     for coords in (base + jnp.array([3.3, -2.7]), base * 3.0 - 50.0):
         ref = lookup_corr_gather(pyr, coords)
         out = jnp.concatenate(
             pallas_lookup_pyramid(pyr, coords, interpret=True), axis=-1)
         np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+        grouped = jnp.concatenate(
+            pallas_lookup_pyramid_grouped(pyr, coords, interpret=True),
+            axis=-1)
+        np.testing.assert_allclose(grouped, ref, rtol=1e-4, atol=1e-5)
