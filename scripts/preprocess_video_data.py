@@ -21,7 +21,7 @@ def _check_valid(valid_list, n):
     return any((n >= v[0]) and (n < v[1]) for v in valid_list)
 
 
-def main(input_path, output_path, step, rect_mode):
+def main(input_path, output_path, step, rect_mode, img_size=(640, 512)):
     from robust_pose_tpu.data.dataset_utils import StereoVideoDataset, get_data
 
     # only extract valid frames for training
@@ -31,7 +31,7 @@ def main(input_path, output_path, step, rect_mode):
     if valid_list is not None and valid_list.ndim == 1:
         valid_list = valid_list[None]
 
-    dataset, calib = get_data(input_path, (640, 512), sample_video=step,
+    dataset, calib = get_data(input_path, img_size, sample_video=step,
                               rect_mode=rect_mode)
     assert isinstance(dataset, StereoVideoDataset)
 
