@@ -25,7 +25,7 @@ def main():
     model = PoseNet(config)
 
     key = jax.random.PRNGKey(0)
-    img = jnp.zeros((1, 3, H, W), jnp.float32)
+    img = jnp.zeros((1, H, W, 3), jnp.float32)
     K = jnp.array([[500.0, 0.0, W / 2], [0.0, 500.0, H / 2],
                    [0.0, 0.0, 1.0]])[None]
     bl = jnp.asarray([16.0], jnp.float32)
@@ -43,12 +43,12 @@ def main():
     def make_inputs(i):
         ks = jax.random.split(jax.random.PRNGKey(i), 3)
         return (
-            255.0 * jax.random.uniform(ks[0], (1, 3, H, W)),
-            255.0 * jax.random.uniform(ks[1], (1, 3, H, W)),
-            255.0 * jax.random.uniform(ks[2], (1, 3, H, W)),
-            jnp.full((1, 1, H, W), 0.5),
-            jnp.ones((1, 1, H, W), bool),
-            jnp.full((1, 2, H, W), -16.0),
+            255.0 * jax.random.uniform(ks[0], (1, H, W, 3)),
+            255.0 * jax.random.uniform(ks[1], (1, H, W, 3)),
+            255.0 * jax.random.uniform(ks[2], (1, H, W, 3)),
+            jnp.full((1, H, W, 1), 0.5),
+            jnp.ones((1, H, W, 1), bool),
+            jnp.full((1, H, W, 2), -16.0),
         )
 
     n_iters = 12

@@ -5,8 +5,8 @@ inference path — stereo flow -> depth -> point clouds -> flow warp -> weight
 maps -> Gauss-Newton pose solve — is one jittable function with no host
 round-trips (the BASELINE.json north-star restructuring).
 
-External tensor contracts mirror the reference (NCHW, images in [0, 255]);
-convolutions run NHWC internally (TPU-native layout).
+All tensors are NHWC end-to-end (TPU-native layout; images in [0, 255]) —
+NCHW exists only at the reference-parity API boundary (PoseEstimator).
 """
 from __future__ import annotations
 
@@ -26,32 +26,24 @@ from robust_pose_tpu.solver.objectives import PoseProblemInputs
 Array = jax.Array
 
 
-def _nchw(x: Array) -> Array:
-    return x.transpose(0, 3, 1, 2)
-
-
-def _nhwc(x: Array) -> Array:
-    return x.transpose(0, 2, 3, 1)
-
-
-def _resize_eighth(x_nchw: Array) -> Array:
+def _resize_eighth(x: Array) -> Array:
     """F.interpolate(scale_factor=0.125, mode='bilinear') analogue
-    (reference core/pose/pose_net.py:110-113)."""
-    b, c, h, w = x_nchw.shape
+    (reference core/pose/pose_net.py:110-113). NHWC."""
+    b, h, w, c = x.shape
     return jax.image.resize(
-        x_nchw, (b, c, h // 8, w // 8), method="linear", antialias=False
+        x, (b, h // 8, w // 8, c), method="linear", antialias=False
     )
 
 
 class PoseNetOutputs(NamedTuple):
     pose: Array          # (B, 7) SE(3) vec (inference) — reference returns SE3
     pose_tan: Array      # (B, 6) tangent (training target space)
-    depth1: Array        # (B, 1, H, W)
-    depth2: Array        # (B, 1, H, W)
-    conf1: Array         # (B, 1, H, W) 2D confidence
-    conf2: Array         # (B, 1, H, W) 3D confidence
-    flow: Array          # (B, 2, H, W) temporal flow
-    stereo_flow2: Array  # (B, 2, H, W)
+    depth1: Array        # (B, H, W, 1)
+    depth2: Array        # (B, H, W, 1)
+    conf1: Array         # (B, H, W, 1) 2D confidence
+    conf2: Array         # (B, H, W, 1) 3D confidence
+    flow: Array          # (B, H, W, 2) temporal flow
+    stereo_flow2: Array  # (B, H, W, 2)
 
 
 class PoseNet(nn.Module):
@@ -69,18 +61,20 @@ class PoseNet(nn.Module):
             dtype=jnp.bfloat16 if mp else jnp.float32,
             corr_dtype=jnp.bfloat16 if mp else jnp.float32,
             small=self.config.get("small", False),
-            pallas_lookup=self.config.get("pallas_lookup", False),
+            dropout=self.config.get("dropout", 0.0),
+            lookup=self.config.get("lookup", "lanewise"),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)
                          else jnp.float32)
+        unet_levels = self.config.get("unet_levels", 3)
         self.weight_head_2d = TinyUNet(
             in_channels=HDIM + CDIM + 8, output_size=(H, W),
-            dtype=compute_dtype, name="weight_head_2d"
+            dtype=compute_dtype, levels=unet_levels, name="weight_head_2d"
         )
         self.weight_head_3d = TinyUNet(
             in_channels=HDIM + CDIM + 8 + 8, output_size=(H, W),
-            dtype=compute_dtype, name="weight_head_3d"
+            dtype=compute_dtype, levels=unet_levels, name="weight_head_3d"
         )
         self.loss_weight = self.param(
             "loss_weight", lambda k: jnp.ones((2,), jnp.float32)
@@ -95,11 +89,10 @@ class PoseNet(nn.Module):
     # building blocks
     # ------------------------------------------------------------------
 
-    def run_flow(self, img1_nchw: Array, img2_nchw: Array):
-        """RAFT pass; returns (flow (B,2,H,W), hidden (B,128,H/8,W/8),
-        context (B,128,H/8,W/8))."""
-        flow, net, inp = self.flow_net(_nhwc(img1_nchw), _nhwc(img2_nchw))
-        return _nchw(flow), _nchw(net), _nchw(inp)
+    def run_flow(self, img1: Array, img2: Array, train: bool = False):
+        """RAFT pass; returns (flow (B,H,W,2), hidden (B,H/8,W/8,128),
+        context (B,H/8,W/8,128))."""
+        return self.flow_net(img1, img2, train)
 
     def flow2depth(self, imagel: Array, imager: Array, baseline: Array):
         """Stereo flow -> normalized depth (reference pose_net.py:127-135).
@@ -112,19 +105,25 @@ class PoseNet(nn.Module):
 
     @staticmethod
     def disparity_to_depth(stereo_flow: Array, baseline: Array):
-        depth = baseline[:, None, None] / -stereo_flow[:, 0]
+        depth = baseline[:, None, None] / -stereo_flow[..., 0]
         valid = (depth > 0) & (depth <= 1.0)
         depth = jnp.where(valid, depth, 1.0)
-        return depth[:, None], valid[:, None]
+        return depth[..., None], valid[..., None]
 
     def get_weight_maps(self, pcl1, pcl2, image1l, image2l, mask2, time_flow,
                         stereo_flow1, stereo_flow2, hidden, context,
                         train: bool = False):
         """Warp frame-2 quantities into frame-1 correspondence and predict
-        2D/3D confidence maps (reference pose_net.py:102-119)."""
-        pcl2, _ = remap_from_flow(pcl2, time_flow)
-        image2l_w, _ = remap_from_flow(image2l, time_flow)
-        stereo_flow2_w, _ = remap_from_flow(stereo_flow2, time_flow)
+        2D/3D confidence maps (reference pose_net.py:102-119).
+
+        The three bilinear warps share one gather over the channel concat
+        (TPU gathers are per-call row fetches; 4 corner gathers of 8 channels
+        beat 12 of 2-3 — ~6 ms/step at 512x640)."""
+        packed = jnp.concatenate([pcl2, image2l, stereo_flow2], axis=-1)
+        packed_w, _ = remap_from_flow(packed, time_flow)
+        pcl2 = packed_w[..., :3]
+        image2l_w = packed_w[..., 3:6]
+        stereo_flow2_w = packed_w[..., 6:8]
         mask2f, valid_mapping = remap_from_flow_nearest(
             mask2.astype(jnp.float32), time_flow
         )
@@ -132,15 +131,15 @@ class PoseNet(nn.Module):
 
         if self.config.get("use_weights", True):
             inp1 = _resize_eighth(
-                jnp.concatenate([stereo_flow1, image1l, pcl1], axis=1)
+                jnp.concatenate([stereo_flow1, image1l, pcl1], axis=-1)
             )
             inp2 = _resize_eighth(
-                jnp.concatenate([stereo_flow2_w, image2l_w, pcl2], axis=1)
+                jnp.concatenate([stereo_flow2_w, image2l_w, pcl2], axis=-1)
             )
-            feat = jnp.concatenate([inp1, hidden, context], axis=1)
-            conf1 = nn.sigmoid(_nchw(self.weight_head_2d(_nhwc(feat), train)))
-            feat3 = jnp.concatenate([inp1, inp2, hidden, context], axis=1)
-            conf2 = nn.sigmoid(_nchw(self.weight_head_3d(_nhwc(feat3), train)))
+            feat = jnp.concatenate([inp1, hidden, context], axis=-1)
+            conf1 = nn.sigmoid(self.weight_head_2d(feat, train))
+            feat3 = jnp.concatenate([inp1, inp2, hidden, context], axis=-1)
+            conf2 = nn.sigmoid(self.weight_head_3d(feat3, train))
         else:
             conf1 = jnp.ones_like(mask2, dtype=jnp.float32)
             conf2 = jnp.ones_like(mask2, dtype=jnp.float32)
@@ -198,7 +197,7 @@ class PoseNet(nn.Module):
         # (generalizes the reference's inference-time batching trick to train)
         ref_imgs = jnp.concatenate([image1l, image2l, image1l], axis=0)
         trg_imgs = jnp.concatenate([image1r, image2r, image2l], axis=0)
-        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs)
+        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs, train)
         stereo_flow1, stereo_flow2, time_flow = flows[:b], flows[b:2 * b], flows[2 * b:]
         hidden, context = hidden[2 * b:], context[2 * b:]
 

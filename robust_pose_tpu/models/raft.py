@@ -74,14 +74,18 @@ class ResidualBlock(nn.Module):
 
 
 class BasicEncoder(nn.Module):
-    """Feature/context encoder: 1/8 resolution, output_dim channels."""
+    """Feature/context encoder: 1/8 resolution, output_dim channels.
+
+    ``dropout`` mirrors upstream RAFT's Dropout2d after the final 1x1 conv
+    (active only in training; whole channels dropped)."""
 
     output_dim: int = 256
     norm: str = "instance"
     dtype: Any = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
                     name="conv1")(x)
         if self.norm == "instance":
@@ -96,8 +100,13 @@ class BasicEncoder(nn.Module):
                               name=f"layer{i+1}_0")(x)
             x = ResidualBlock(planes, self.norm, 1, dtype=self.dtype,
                               name=f"layer{i+1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
-                       name="conv2")(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                    name="conv2")(x)
+        if self.dropout > 0.0:
+            # torch Dropout2d: drop whole channels (broadcast over H, W)
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
+        return x
 
 
 class _SplitConv1x1(nn.Module):
@@ -105,14 +114,19 @@ class _SplitConv1x1(nn.Module):
     concat: the kernel is sliced per input part and the partial products are
     summed. Parameter layout is identical to ``nn.Conv`` (kernel
     (1, 1, Cin, Cout) + bias) so checkpoints are interchangeable. Avoids the
-    ~13 ms/step relayout DMA the 324-channel corr concat costs on TPU."""
+    ~13 ms/step relayout DMA the 324-channel corr concat costs on TPU.
+
+    Parts may be NHWC ``(B, H, W, C)`` or channel-first flat ``(B, C, N)``
+    (the lanewise lookup kernel's native output — consumed via a
+    contract-dim-0 matmul, no transpose); ``hw`` gives (H, W) for the
+    latter."""
 
     features: int
     in_channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, parts):
+    def __call__(self, parts, hw=None):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
             (1, 1, self.in_channels, self.features), jnp.float32)
@@ -121,9 +135,15 @@ class _SplitConv1x1(nn.Module):
         out = None
         off = 0
         for part in parts:
-            ci = part.shape[-1]
-            k = kernel[0, 0, off:off + ci].astype(self.dtype)
-            y = jnp.einsum("bhwc,cf->bhwf", part.astype(self.dtype), k)
+            if part.ndim == 3:  # (B, C, N) channel-first
+                ci = part.shape[1]
+                k = kernel[0, 0, off:off + ci].astype(self.dtype)
+                y = jnp.einsum("bcn,cf->bnf", part.astype(self.dtype), k)
+                y = y.reshape(y.shape[0], hw[0], hw[1], self.features)
+            else:
+                ci = part.shape[-1]
+                k = kernel[0, 0, off:off + ci].astype(self.dtype)
+                y = jnp.einsum("bhwc,cf->bhwf", part.astype(self.dtype), k)
             out = y if out is None else out + y
             off += ci
         assert off == self.in_channels, (off, self.in_channels)
@@ -137,8 +157,11 @@ class BasicMotionEncoder(nn.Module):
     def __call__(self, flow, corr):
         dt = self.dtype
         corr_parts = corr if isinstance(corr, (list, tuple)) else [corr]
-        cin = sum(p.shape[-1] for p in corr_parts)
-        c = nn.relu(_SplitConv1x1(256, cin, dtype=dt, name="convc1")(corr_parts))
+        cin = sum(p.shape[1] if p.ndim == 3 else p.shape[-1]
+                  for p in corr_parts)
+        hw = flow.shape[1:3]
+        c = nn.relu(_SplitConv1x1(256, cin, dtype=dt, name="convc1")(
+            corr_parts, hw))
         c = nn.relu(nn.Conv(192, (3, 3), padding=1, dtype=dt, name="convc2")(c))
         f = nn.relu(nn.Conv(128, (7, 7), padding=3, dtype=dt, name="convf1")(flow))
         f = nn.relu(nn.Conv(64, (3, 3), padding=1, dtype=dt, name="convf2")(f))
@@ -211,9 +234,10 @@ class SmallEncoder(nn.Module):
     output_dim: int = 128
     norm: str = "instance"
     dtype: Any = jnp.float32
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         x = nn.Conv(32, (7, 7), strides=2, padding=3, dtype=self.dtype,
                     name="conv1")(x)
         if self.norm == "instance":
@@ -228,8 +252,12 @@ class SmallEncoder(nn.Module):
                               name=f"layer{i+1}_0")(x)
             x = ResidualBlock(planes, self.norm, 1, dtype=self.dtype,
                               name=f"layer{i+1}_1")(x)
-        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
-                       name="conv2")(x)
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                    name="conv2")(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, broadcast_dims=(1, 2),
+                           deterministic=not train)(x)
+        return x
 
 
 class SmallMotionEncoder(nn.Module):
@@ -242,8 +270,10 @@ class SmallMotionEncoder(nn.Module):
     def __call__(self, flow, corr):
         dt = self.dtype
         corr_parts = corr if isinstance(corr, (list, tuple)) else [corr]
-        cin = sum(p.shape[-1] for p in corr_parts)
-        c = nn.relu(_SplitConv1x1(96, cin, dtype=dt, name="convc1")(corr_parts))
+        cin = sum(p.shape[1] if p.ndim == 3 else p.shape[-1]
+                  for p in corr_parts)
+        c = nn.relu(_SplitConv1x1(96, cin, dtype=dt, name="convc1")(
+            corr_parts, flow.shape[1:3]))
         f = nn.relu(nn.Conv(64, (7, 7), padding=3, dtype=dt, name="convf1")(flow))
         f = nn.relu(nn.Conv(32, (3, 3), padding=1, dtype=dt, name="convf2")(f))
         out = nn.relu(nn.Conv(80, (3, 3), padding=1, dtype=dt, name="conv")(
@@ -473,18 +503,26 @@ class _UpdateStep(nn.Module):
 
     dtype: Any = jnp.float32
     small: bool = False
-    pallas_lookup: bool = False
+    lookup: str = "lanewise"
 
     @nn.compact
     def __call__(self, carry, pyramid, inp, coords0):
-        if self.pallas_lookup and not self.small:
+        radius = 3 if self.small else CORR_RADIUS
+        if self.lookup == "lanewise":
+            from robust_pose_tpu.ops.pallas_lookup_lanewise import (
+                lanewise_lookup,
+            )
+            # Pallas TPU kernels run via the interpreter on the CPU backend
+            corr = lanewise_lookup(pyramid, carry["coords1"], radius=radius,
+                                   interpret=jax.default_backend() == "cpu")
+        elif self.lookup == "grouped":
             from robust_pose_tpu.ops.pallas_lookup import (
                 pallas_lookup_pyramid_grouped,
             )
             corr = pallas_lookup_pyramid_grouped(pyramid, carry["coords1"])
         else:
             corr = lookup_corr(pyramid, carry["coords1"], as_list=True,
-                               radius=3 if self.small else CORR_RADIUS)
+                               radius=radius)
         flow = carry["coords1"] - coords0
         block = SmallUpdateBlock if self.small else BasicUpdateBlock
         net, up_mask, delta = block(dtype=self.dtype, name="update_block")(
@@ -509,12 +547,15 @@ class RAFT(nn.Module):
     corr_dtype: Any = jnp.bfloat16
     dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
     small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
-    pallas_lookup: bool = False  # Pallas window-lookup kernel (see
-    # ops/pallas_lookup.py; currently slower than the XLA one-hot matmul
-    # path on v5e — issue-bound per-pixel matmuls — kept for iteration)
+    dropout: float = 0.0  # encoder Dropout2d rate (upstream RAFT; train only)
+    lookup: str = "lanewise"  # correlation lookup implementation:
+    # "lanewise" — lane-parallel Pallas kernel over the transposed volume
+    #   (ops/pallas_lookup_lanewise.py, ~3x faster than the XLA path on v5e)
+    # "xla" — one-hot-matmul formulation (lookup_corr)
+    # "grouped" — round-1 block-diagonal Pallas kernel (kept for comparison)
 
     @nn.compact
-    def __call__(self, image1: Array, image2: Array):
+    def __call__(self, image1: Array, image2: Array, train: bool = False):
         b, h, w, _ = image1.shape
         h8, w8 = h // 8, w // 8
         hdim = 96 if self.small else HDIM
@@ -525,22 +566,30 @@ class RAFT(nn.Module):
 
         enc_cls = SmallEncoder if self.small else BasicEncoder
         fnet = enc_cls(output_dim=128 if self.small else 256, norm="instance",
-                       dtype=self.dtype, name="fnet")
+                       dtype=self.dtype, dropout=self.dropout, name="fnet")
         # batching the two frames through the shared feature encoder mirrors
         # the reference (RAFT fnet([image1, image2]))
-        fmaps = fnet(jnp.concatenate([image1, image2], axis=0))
+        fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
         fmap1, fmap2 = fmaps[:b], fmaps[b:]
 
         cnet = enc_cls(output_dim=hdim + cdim,
                        norm="none" if self.small else "batch",
-                       dtype=self.dtype, name="cnet")
-        c = cnet(image1)
+                       dtype=self.dtype, dropout=self.dropout, name="cnet")
+        c = cnet(image1, train)
         net = nn.tanh(c[..., :hdim])
         inp = nn.relu(c[..., hdim:])
 
-        pyramid = build_corr_pyramid(fmap1.astype(jnp.float32),
-                                     fmap2.astype(jnp.float32),
-                                     dtype=self.corr_dtype)
+        if self.lookup == "lanewise":
+            from robust_pose_tpu.ops.pallas_lookup_lanewise import (
+                build_corr_pyramid_t,
+            )
+            pyramid = build_corr_pyramid_t(fmap1.astype(jnp.float32),
+                                           fmap2.astype(jnp.float32),
+                                           dtype=self.corr_dtype)
+        else:
+            pyramid = build_corr_pyramid(fmap1.astype(jnp.float32),
+                                         fmap2.astype(jnp.float32),
+                                         dtype=self.corr_dtype)
 
         xs = jnp.arange(w8, dtype=jnp.float32)
         ys = jnp.arange(h8, dtype=jnp.float32)
@@ -564,7 +613,7 @@ class RAFT(nn.Module):
             length=self.iters,
         )
         carry, _ = scan(dtype=self.dtype, small=self.small,
-                        pallas_lookup=self.pallas_lookup, name="update")(
+                        lookup=self.lookup, name="update")(
             carry0, pyramid, inp, coords0)
 
         flow8 = carry["coords1"] - coords0

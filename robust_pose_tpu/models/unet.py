@@ -100,17 +100,25 @@ class UNet(nn.Module):
 
 
 class TinyUNet(nn.Module):
-    """enc (in, 16, 32, 64), dec (64, 32, 16) — reference unet.py:80-82."""
+    """enc (in, 16, 32, 64), dec (64, 32, 16) — reference unet.py:80-82.
+
+    ``levels`` (default 3 = reference architecture) truncates the
+    encoder/decoder; levels < 3 shrink the minimum spatial size the VALID-pad
+    convolutions admit (used by tests/the multi-chip dryrun to validate the
+    weight-head + BatchNorm plumbing on tiny shapes)."""
 
     in_channels: int
     output_size: Tuple[int, int]
     dtype: Any = jnp.float32
+    levels: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        enc = (self.in_channels, 16, 32, 64)[: self.levels + 1]
+        dec = tuple(reversed(enc[1:]))
         return UNet(
-            enc_chs=(self.in_channels, 16, 32, 64),
-            dec_chs=(64, 32, 16),
+            enc_chs=enc,
+            dec_chs=dec,
             out_sz=tuple(self.output_size),
             retain_dim=True,
             dtype=self.dtype,

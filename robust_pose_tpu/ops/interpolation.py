@@ -27,7 +27,7 @@ def _gauss_kernel_2d(size: int, std: float) -> Array:
 
 def sparse_img_interpolate(x: Array, kernel_size: int = 5, sigma: float = 2.0,
                            prior_val: float = 0.0) -> Array:
-    """Replace NaN pixels of ``x (B, C, H, W)`` by the Gaussian-weighted mean
+    """Replace NaN pixels of ``x (B, H, W, C)`` by the Gaussian-weighted mean
     of their (reflect-padded) neighborhood (reference
     sparse_img_interpolation.py:19-32)."""
     mask = jnp.isnan(x)
@@ -35,30 +35,31 @@ def sparse_img_interpolate(x: Array, kernel_size: int = 5, sigma: float = 2.0,
     pad = kernel_size // 2
     k = _gauss_kernel_2d(kernel_size, sigma).astype(x.dtype)
 
-    b, c, h, w = x.shape
-    padded = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    # depthwise conv: move channels into batch
+    b, h, w, c = x.shape
+    padded = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    # depthwise conv over NHWC
     conv = jax.lax.conv_general_dilated(
-        padded.reshape(b * c, 1, h + 2 * pad, w + 2 * pad),
-        k[None, None],
+        padded,
+        jnp.tile(k[:, :, None, None], (1, 1, 1, c)),
         window_strides=(1, 1),
         padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    ).reshape(b, c, h, w)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
     return jnp.where(mask, conv, x)
 
 
 def median_filter_2d(x: Array, kernel_size: int = 3) -> Array:
     """Same-padded 2D median filter (reference core/utils/pytorch.py:84
-    ``MedianPool2d(same=True)``)."""
+    ``MedianPool2d(same=True)``). NHWC."""
     pad = kernel_size // 2
-    b, c, h, w = x.shape
+    b, h, w, c = x.shape
     padded = jnp.pad(
-        x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="edge"
+        x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge"
     )
     patches = jnp.stack(
         [
-            padded[:, :, i:i + h, j:j + w]
+            padded[:, i:i + h, j:j + w, :]
             for i in range(kernel_size)
             for j in range(kernel_size)
         ],

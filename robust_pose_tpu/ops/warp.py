@@ -2,9 +2,9 @@
 
 TPU-native rebuild of reference core/interpol/flow_utils.py:4-26 and the
 bilinear sampler semantics of ``torch.nn.functional.grid_sample`` with
-``align_corners=True`` and zero padding. Implemented as XLA gathers over
-flattened pixel indices — fuses into surrounding elementwise work and avoids
-any host round-trip.
+``align_corners=True`` and zero padding. NHWC layout: gathers fetch
+contiguous C-channel pixel rows (minor-dim contiguous — the fast gather
+orientation on TPU) and fuse into surrounding elementwise work.
 """
 from __future__ import annotations
 
@@ -17,27 +17,28 @@ Array = jax.Array
 def _gather_pix(img: Array, ix: Array, iy: Array) -> Array:
     """Gather pixels at integer coords with zero padding.
 
-    :param img: (B, C, H, W)
+    :param img: (B, H, W, C)
     :param ix, iy: (B, N) integer pixel coordinates
-    :return: (B, C, N)
+    :return: (B, N, C)
     """
-    b, c, h, w = img.shape
+    b, h, w, c = img.shape
     inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
     ixc = jnp.clip(ix, 0, w - 1)
     iyc = jnp.clip(iy, 0, h - 1)
-    flat = img.reshape(b, c, h * w)
+    flat = img.reshape(b, h * w, c)
     idx = iyc * w + ixc  # (B, N)
-    out = jnp.take_along_axis(flat, idx[:, None, :], axis=-1)
-    return out * inb[:, None, :]
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return out * inb[..., None]
 
 
-def grid_sample(img: Array, coords_x: Array, coords_y: Array, mode: str = "bilinear") -> Array:
+def grid_sample(img: Array, coords_x: Array, coords_y: Array,
+                mode: str = "bilinear") -> Array:
     """Sample ``img`` at fractional pixel coordinates with zero padding.
 
-    :param img: (B, C, H, W)
+    :param img: (B, H, W, C)
     :param coords_x, coords_y: (B, N) pixel-space coordinates (not normalized)
     :param mode: 'bilinear' or 'nearest'
-    :return: (B, C, N)
+    :return: (B, N, C)
     """
     if mode == "nearest":
         # torch grid_sample nearest rounds half away from floor consistently;
@@ -59,8 +60,8 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array, mode: str = "bilin
     v01 = _gather_pix(img, x1i, y0i)
     v10 = _gather_pix(img, x0i, y1i)
     v11 = _gather_pix(img, x1i, y1i)
-    wx = wx[:, None, :]
-    wy = wy[:, None, :]
+    wx = wx[..., None]
+    wy = wy[..., None]
     return (
         v00 * (1.0 - wx) * (1.0 - wy)
         + v01 * wx * (1.0 - wy)
@@ -76,34 +77,35 @@ def _flow_target_coords(flow: Array):
     (no +0.5 offset) plus flow, which under align_corners=True normalization
     corresponds exactly to sampling at (col + flow_x, row + flow_y).
     """
-    b, _, h, w = flow.shape
+    b, h, w, _ = flow.shape
     cols = jnp.arange(w, dtype=flow.dtype)
     rows = jnp.arange(h, dtype=flow.dtype)
     xg, yg = jnp.meshgrid(cols, rows, indexing="xy")
-    cx = (xg[None] + flow[:, 0]).reshape(b, -1)
-    cy = (yg[None] + flow[:, 1]).reshape(b, -1)
+    cx = (xg[None] + flow[..., 0]).reshape(b, -1)
+    cy = (yg[None] + flow[..., 1]).reshape(b, -1)
     return cx, cy
 
 
 def remap_from_flow(x: Array, flow: Array):
     """Warp ``x`` by sampling at flow-displaced coordinates (bilinear).
 
-    :param x: (B, C, H, W)
-    :param flow: (B, 2, H, W) in pixels, channel 0 = x displacement
-    :return: (warped (B, C, H, W), valid (B, 1, H, W))
+    :param x: (B, H, W, C)
+    :param flow: (B, H, W, 2) in pixels, channel 0 = x displacement
+    :return: (warped (B, H, W, C), valid (B, H, W, 1))
     (reference core/interpol/flow_utils.py:4-14; validity = any channel > 0)
     """
-    b, c, h, w = x.shape
+    b, h, w, c = x.shape
     cx, cy = _flow_target_coords(flow)
-    out = grid_sample(x, cx, cy, mode="bilinear").reshape(b, c, h, w)
-    valid = jnp.any(out > 0, axis=1, keepdims=True)
+    out = grid_sample(x, cx, cy, mode="bilinear").reshape(b, h, w, c)
+    valid = jnp.any(out > 0, axis=-1, keepdims=True)
     return out, valid
 
 
 def remap_from_flow_nearest(x: Array, flow: Array):
     """Nearest-neighbour variant (reference core/interpol/flow_utils.py:17-26)."""
-    b, c, h, w = x.shape
+    b, h, w, c = x.shape
     cx, cy = _flow_target_coords(flow)
-    out = grid_sample(x.astype(jnp.float32), cx, cy, mode="nearest").reshape(b, c, h, w)
-    valid = jnp.any(out > 0, axis=1, keepdims=True)
+    out = grid_sample(x.astype(jnp.float32), cx, cy,
+                      mode="nearest").reshape(b, h, w, c)
+    valid = jnp.any(out > 0, axis=-1, keepdims=True)
     return out, valid

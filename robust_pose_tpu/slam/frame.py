@@ -18,14 +18,16 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclass
 class Frame:
-    """Image, depth, mask, confidence and stereo-flow buffers (all NCHW).
+    """Image, depth, mask, confidence and stereo-flow buffers (all NHWC —
+    the TPU-native layout; the reference's NCHW exists only at the
+    PoseEstimator API boundary).
 
-    :param img: left RGB in [0, 255], (B, 3, H, W)
-    :param rimg: right RGB, (B, 3, H, W)
-    :param depth: depth map (mm or normalized), (B, 1, H, W)
-    :param mask: valid-pixel mask, (B, 1, H, W) bool
-    :param confidence: depth confidence in [0, 1], (B, 1, H, W)
-    :param flow: left->right stereo flow, (B, 2, H, W)
+    :param img: left RGB in [0, 255], (B, H, W, 3)
+    :param rimg: right RGB, (B, H, W, 3)
+    :param depth: depth map (mm or normalized), (B, H, W, 1)
+    :param mask: valid-pixel mask, (B, H, W, 1) bool
+    :param confidence: depth confidence in [0, 1], (B, H, W, 1)
+    :param flow: left->right stereo flow, (B, H, W, 2)
     """
 
     img: Array
@@ -37,7 +39,7 @@ class Frame:
 
     @property
     def shape(self):
-        return self.img.shape[-2:]
+        return self.img.shape[1:3]
 
     def replace(self, **kw) -> "Frame":
         return replace(self, **kw)
@@ -49,13 +51,13 @@ def make_frame(img: Array, rimg: Optional[Array] = None,
                flow: Optional[Array] = None) -> Frame:
     """Frame constructor with reference default semantics
     (core/utils/frame_class.py:20-38)."""
-    b, _, h, w = img.shape
+    b, h, w, _ = img.shape
     return Frame(
         img=img,
         rimg=img if rimg is None else rimg,
-        depth=jnp.ones((b, 1, h, w), img.dtype) if depth is None else depth,
-        mask=jnp.ones((b, 1, h, w), bool) if mask is None else mask.astype(bool),
-        confidence=(jnp.ones((b, 1, h, w), jnp.float32)
+        depth=jnp.ones((b, h, w, 1), img.dtype) if depth is None else depth,
+        mask=jnp.ones((b, h, w, 1), bool) if mask is None else mask.astype(bool),
+        confidence=(jnp.ones((b, h, w, 1), jnp.float32)
                     if confidence is None else confidence),
-        flow=jnp.zeros((b, 2, h, w), jnp.float32) if flow is None else flow,
+        flow=jnp.zeros((b, h, w, 2), jnp.float32) if flow is None else flow,
     )

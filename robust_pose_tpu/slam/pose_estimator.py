@@ -71,6 +71,7 @@ class PoseEstimator:
 
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
+        self._jit_step_f2m = None  # built lazily (needs the surfel config)
 
     # ------------------------------------------------------------------
     # jitted step functions
@@ -109,6 +110,39 @@ class PoseEstimator:
                            mask=mask, flow=out.stereo_flow2)
         return new_pose, frame, out, success
 
+    def _make_f2m_step(self, cfg):
+        """Build the fused frame-to-model step: transform + render + track +
+        conditional fuse in ONE compiled dispatch (the reference composes
+        four separate calls plus a host sync — pose_estimator.py:127-144).
+        """
+        from robust_pose_tpu.slam.surfel_map import (
+            surfel_fuse,
+            surfel_render,
+            surfel_transform,
+        )
+
+        kmat = self.intrinsics[0]
+
+        def step(variables, last_pose, state, prev_rimg, limg, rimg, mask):
+            scene_t = surfel_transform(state, se3.inv(last_pose[0]))
+            model_frame = surfel_render(scene_t, kmat, cfg)
+            reference_frame = model_frame.replace(
+                rimg=prev_rimg,
+                flow=jnp.zeros_like(model_frame.flow),
+            )
+            new_pose, frame, out, success = self._track_step(
+                variables, last_pose, reference_frame, limg, rimg, mask
+            )
+            new_state = jax.lax.cond(
+                success,
+                lambda s: surfel_fuse(s, frame, new_pose[0], kmat, cfg),
+                lambda s: s,
+                state,
+            )
+            return new_pose, frame, out, success, new_state, model_frame
+
+        return jax.jit(step)
+
     # ------------------------------------------------------------------
     # host API
     # ------------------------------------------------------------------
@@ -129,13 +163,21 @@ class PoseEstimator:
         """Estimate the absolute camera pose for a new stereo frame.
 
         :param limg/rimg: (1, 3, H, W) rectified images in [0, 255]
-        :param mask: (1, 1, H, W) valid mask
-        :return: (abs_pose (1,7), scene, flow, (conf1, conf2)) — mirrors
-            reference pose_estimator.forward
+            (reference NCHW contract; NHWC (1, H, W, 3) is also accepted and
+            skips the boundary transpose)
+        :param mask: (1, 1, H, W) or (1, H, W, 1) valid mask
+        :return: (abs_pose (1,7), scene, flow (1,H,W,2),
+            (conf1, conf2) (1,H,W,1)) — mirrors reference
+            pose_estimator.forward with NHWC outputs
         """
         limg = jnp.asarray(limg, jnp.float32)
         rimg = jnp.asarray(rimg, jnp.float32)
         mask = jnp.asarray(mask, bool)
+        if limg.shape[-1] not in (1, 3):  # NCHW -> NHWC at the API boundary
+            limg = limg.transpose(0, 2, 3, 1)
+            rimg = rimg.transpose(0, 2, 3, 1)
+        if mask.shape[-1] != 1:
+            mask = mask.transpose(0, 2, 3, 1)
 
         if self.last_frame is None and self.frame is None:
             self.frame, valid = self._jit_first(self.variables, limg, rimg, mask)
@@ -149,30 +191,31 @@ class PoseEstimator:
 
         self.last_frame = self.frame
         if self.frame2frame:
-            reference_frame = self.frame
-        else:
-            # frame-to-model: render the reference view from the surfel map
-            # transformed into the last camera frame
-            # (reference pose_estimator.py:127-144 ``get_pose_f2m``)
-            scene_tlast = self.scene.transform_cpy(se3.inv(self.last_pose[0]))
-            model_frame = scene_tlast.render(self.intrinsics[0])
-            reference_frame = model_frame.replace(
-                rimg=self.frame.rimg,
-                flow=jnp.zeros_like(self.frame.flow),
+            new_pose, frame, out, success = self._jit_step(
+                self.variables, self.last_pose, self.frame, limg, rimg, mask
             )
+            if self.scene is not None and bool(success):
+                self.scene.fuse(frame, new_pose[0])
+        else:
+            # frame-to-model (reference pose_estimator.py:127-144
+            # ``get_pose_f2m``): render the reference view from the surfel
+            # map, track against it and fuse on success — ONE fused dispatch,
+            # no per-frame host sync
+            if self._jit_step_f2m is None:
+                self._jit_step_f2m = self._make_f2m_step(self.scene.cfg)
+            (new_pose, frame, out, success, new_state,
+             model_frame) = self._jit_step_f2m(
+                self.variables, self.last_pose, self.scene.state,
+                self.frame.rimg, limg, rimg, mask,
+            )
+            self.scene.state = new_state
+            # keep the rendered model frame inspectable with its confidences
+            self.last_frame = model_frame.replace(
+                rimg=self.frame.rimg, confidence=out.conf1)
 
-        new_pose, frame, out, success = self._jit_step(
-            self.variables, self.last_pose, reference_frame, limg, rimg, mask
-        )
         self.last_pose = new_pose
         self.frame = frame
         self.success = success
-        if not self.frame2frame:
-            # keep the rendered model frame inspectable with its confidences
-            self.last_frame = reference_frame.replace(confidence=out.conf1)
-
-        if self.scene is not None and bool(success):
-            self.scene.fuse(frame, new_pose[0])
         return self.last_pose, self.scene, out.flow, (out.conf1, out.conf2)
 
     def get_last_frame(self):

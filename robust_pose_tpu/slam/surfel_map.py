@@ -42,6 +42,13 @@ class SurfelConfig(NamedTuple):
     t_max: int = 15                   # reference surfel_map.py:23
     d_thresh: float = 100.0           # reference surfel_map.py:25
     average_pts: bool = True          # reference surfel_map.py:30
+    upscale: int = 1                  # fuse-time correspondence supersampling
+    # (reference surfel_map.py:24,86-93: the frame is bilinearly upsampled and
+    # the intrinsics scaled so surfel<->pixel matching happens on a u-times
+    # finer grid — fewer quantization collisions; appended points stay at
+    # base resolution. The reference instantiates it only with 1,
+    # pose_estimator.py:75; its u>1 path also carries latent indexing bugs
+    # this rebuild does not reproduce.)
 
 
 class SurfelState(NamedTuple):
@@ -58,11 +65,11 @@ class SurfelState(NamedTuple):
 def _frame_world_points(frame: Frame, kmat: Array, pose: Array,
                         img_coords: Array) -> Array:
     """Back-project the frame depth and move to world coords. -> (N, 3)"""
-    depth = frame.depth.reshape(1, 1, -1)
+    depth = frame.depth.reshape(-1, 1)
     kinv = jnp.linalg.inv(kmat)
-    rays = jnp.matmul(kinv, img_coords, precision=jax.lax.Precision.HIGHEST)
-    opts_cam = (depth[0, 0][None] * rays).T  # (N, 3)
-    return se3.act(pose[None], opts_cam)
+    rays = jnp.matmul(img_coords, kinv.T,
+                      precision=jax.lax.Precision.HIGHEST)  # (N, 3)
+    return se3.act(pose[None], depth * rays)
 
 
 def surfel_create(frame: Frame, kmat: Array, cfg: SurfelConfig,
@@ -75,7 +82,7 @@ def surfel_create(frame: Frame, kmat: Array, cfg: SurfelConfig,
     pmat = se3.identity(()) if pmat is None else pmat
 
     opts = _frame_world_points(frame, kmat, pmat, img_coords)
-    rgb = frame.img.reshape(3, -1).T
+    rgb = frame.img.reshape(-1, 3)
     conf = frame.confidence.reshape(-1) / cfg.conf_thr
     mask = frame.mask.reshape(-1)
 
@@ -103,46 +110,72 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     h, w = cfg.img_shape
     n = h * w
     cap = cfg.capacity
+    u = cfg.upscale
     img_coords = create_img_coords(h, w)
 
     # frame points in world coordinates (reference surfel_map.py:93-97)
     opts_new = _frame_world_points(frame, kmat, pose, img_coords)  # (N, 3)
-    rgb_new = frame.img.reshape(3, -1).T
+    rgb_new = frame.img.reshape(-1, 3)
     fmask = frame.mask.reshape(-1)
     conf_new = jnp.full((n,), 1.0 / cfg.conf_thr, state.conf.dtype)
 
-    # project all surfels into the current image (surfel_map.py:103-107)
     pose_inv = se3.inv(pose)
-    ipts, inb = project2image(
-        state.opts.T[None], kmat[None], (h, w), pose_inv[None]
-    )
-    ipts = ipts[0]
+    if u > 1:
+        # supersampled correspondence grid (reference surfel_map.py:86-93):
+        # bilinearly upsampled frame + u-scaled intrinsics; matching happens
+        # on the fine grid, appended points stay at base resolution
+        hf, wf, nf = h * u, w * u, h * w * u * u
+        kf = kmat * jnp.array([[u], [u], [1.0]])
+        depth_f = jax.image.resize(frame.depth, (1, hf, wf, 1), "linear")
+        rgb_f = jax.image.resize(frame.img, (1, hf, wf, 3), "linear")
+        mask_f = jax.image.resize(frame.mask.astype(jnp.float32),
+                                  (1, hf, wf, 1), "nearest") > 0.5
+        fine = frame.replace(img=rgb_f, depth=depth_f, mask=mask_f)
+        opts_fine = _frame_world_points(fine, kf, pose,
+                                        create_img_coords(hf, wf))
+        rgb_fine = rgb_f.reshape(-1, 3)
+        fmask_fine = mask_f.reshape(-1)
+        ipts, inb = project2image(state.opts[None], kf[None], (hf, wf),
+                                  pose_inv[None])
+    else:
+        hf, wf, nf = h, w, n
+        opts_fine, rgb_fine, fmask_fine = opts_new, rgb_new, fmask
+        # project all surfels into the current image (surfel_map.py:103-107)
+        ipts, inb = project2image(state.opts[None], kmat[None], (h, w),
+                                  pose_inv[None])
+    ipts = ipts[0]  # (CAP, 3)
     bidx = inb[0] & state.active
     # match by pixel quantization (get_match_indices, surfel_map.py:165-179)
-    qx = jnp.round(ipts[0] - 0.5).astype(jnp.int32)
-    qy = jnp.round(ipts[1] - 0.5).astype(jnp.int32)
-    midx = jnp.clip(qy * w + qx, 0, n - 1)
+    qx = jnp.round(ipts[:, 0] - 0.5).astype(jnp.int32)
+    qy = jnp.round(ipts[:, 1] - 0.5).astype(jnp.int32)
+    midx = jnp.clip(qy * wf + qx, 0, nf - 1)
 
     # depth-outlier rejection in world z (filter_surfels_by_correspondence,
     # surfel_map.py:181-203 — the reference compares world-frame z values)
-    depth_ok = jnp.abs(opts_new[midx, 2] - state.opts[:, 2]) < cfg.d_thresh
-    matched = bidx & depth_ok & fmask[midx]
+    depth_ok = jnp.abs(opts_fine[midx, 2] - state.opts[:, 2]) < cfg.d_thresh
+    matched = bidx & depth_ok & fmask_fine[midx]
 
     # confidence-weighted running average (surfel_map.py:117-125)
-    ccor = conf_new[midx]
+    ccor = jnp.full((cap,), 1.0 / cfg.conf_thr, state.conf.dtype)
     cold = state.conf
     denom = jnp.maximum(cold + ccor, 1e-12)
     if cfg.average_pts:
-        opts_upd = (cold[:, None] * state.opts + ccor[:, None] * opts_new[midx]) / denom[:, None]
-        rgb_upd = (cold[:, None] * state.rgb + ccor[:, None] * rgb_new[midx]) / denom[:, None]
+        opts_upd = (cold[:, None] * state.opts + ccor[:, None] * opts_fine[midx]) / denom[:, None]
+        rgb_upd = (cold[:, None] * state.rgb + ccor[:, None] * rgb_fine[midx]) / denom[:, None]
         opts = jnp.where(matched[:, None], opts_upd, state.opts)
         rgb = jnp.where(matched[:, None], rgb_upd, state.rgb)
     else:
         opts, rgb = state.opts, state.rgb
     conf = jnp.where(matched, jnp.clip(cold + ccor, 0.0, 1.0), cold)
 
-    # pixels already covered by a matched surfel (surfel_map.py:127-133)
-    covered = jnp.zeros((n,), bool).at[midx].max(matched, mode="drop")
+    # pixels already covered by a matched surfel (surfel_map.py:127-133);
+    # for u > 1 the fine-grid coverage max-pools back to the base grid
+    # (reference surfel_map.py:131-133)
+    covered_f = jnp.zeros((nf,), bool).at[midx].max(matched, mode="drop")
+    if u > 1:
+        covered = covered_f.reshape(h, u, w, u).any(axis=(1, 3)).reshape(-1)
+    else:
+        covered = covered_f
     new_mask = ~covered & fmask
 
     tick = state.tick + 1
@@ -188,18 +221,24 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
     cap = cfg.capacity
     T = state.pmat if extrinsics is None else extrinsics
 
-    ipts, inb = project2image(state.opts.T[None], kmat[None], (h, w), T[None])
-    ipts = ipts[0]
+    ipts, inb = project2image(state.opts[None], kmat[None], (h, w), T[None])
+    ipts = ipts[0]  # (CAP, 3)
     valid = inb[0] & state.active
-    px = jnp.clip(ipts[0].astype(jnp.int32), 0, w - 1)
-    py = jnp.clip(ipts[1].astype(jnp.int32), 0, h - 1)
+    px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(ipts[:, 1].astype(jnp.int32), 0, h - 1)
     pix = jnp.where(valid, py * w + px, n)  # n -> dropped
 
-    # unique per-pixel winner: max over packed (conf, slot) key
-    slot_ids = jnp.arange(cap, dtype=jnp.float64 if False else jnp.float32)
-    key = state.conf + slot_ids * 1e-9  # strict tie-break
-    key_img = jnp.zeros((n,), key.dtype).at[pix].max(key, mode="drop")
-    winner = valid & (key == key_img[jnp.clip(pix, 0, n - 1)])
+    # unique per-pixel winner, exact two-pass argmax: (1) scatter-max the
+    # confidence, (2) among conf-equal candidates scatter-max the slot id.
+    # (A float-packed conf+slot*eps key either overwhelms genuine confidence
+    # differences at large capacities or underflows f32 eps — see VERDICT r1.)
+    conf_img = jnp.full((n,), -jnp.inf).at[pix].max(state.conf, mode="drop")
+    pixc = jnp.clip(pix, 0, n - 1)
+    is_max = valid & (state.conf == conf_img[pixc])
+    slot_ids = jnp.arange(cap, dtype=jnp.int32)
+    cand = jnp.where(is_max, slot_ids, -1)
+    slot_img = jnp.full((n,), -1, jnp.int32).at[pix].max(cand, mode="drop")
+    winner = is_max & (slot_ids == slot_img[pixc])
 
     wpix = jnp.where(winner, pix, n)
     conf_img = jnp.zeros((n,)).at[wpix].set(state.conf, mode="drop")
@@ -208,11 +247,11 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
     depth_img = jnp.zeros((n,)).at[wpix].set(zcam, mode="drop")
     rgb_img = jnp.zeros((n, 3)).at[wpix].set(state.rgb, mode="drop")
 
-    mask = (conf_img != 0.0).reshape(1, 1, h, w)
-    depth = sparse_img_interpolate(depth_img.reshape(1, 1, h, w))
-    colors = sparse_img_interpolate(rgb_img.T.reshape(1, 3, h, w))
+    mask = (conf_img != 0.0).reshape(1, h, w, 1)
+    depth = sparse_img_interpolate(depth_img.reshape(1, h, w, 1))
+    colors = sparse_img_interpolate(rgb_img.reshape(1, h, w, 3))
     return make_frame(colors, depth=depth, mask=mask,
-                      confidence=conf_img.reshape(1, 1, h, w))
+                      confidence=conf_img.reshape(1, h, w, 1))
 
 
 def stable_points(state: SurfelState) -> Array:
@@ -235,6 +274,7 @@ class SurfelMap:
             img_shape=(h, w),
             d_thresh=config.get("dist_thr", 100.0),
             average_pts=config.get("average_pts", True),
+            upscale=int(config.get("upscale", 1)),
         )
         self.kmat = jnp.asarray(kmat, jnp.float32)
         self.depth_scale = depth_scale

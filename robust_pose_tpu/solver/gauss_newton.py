@@ -62,12 +62,12 @@ def _residuals_and_jacobians(pose: Array, xs: PoseProblemInputs, img_coords: Arr
     Returns (r2 (B,N,2), J2 (B,N,2,6), c2 (B,N), r3 (B,N,3), J3 (B,N,3,6), c3 (B,N))
     such that  objective == sum_i c2_i |r2_i|^2 + sum_i c3_i |r3_i|^2.
     """
-    b, _, h, w = xs.flow.shape
+    b, h, w, _ = xs.flow.shape
     n = h * w
     K = xs.intrinsics  # (B, 3, 3)
 
-    p1 = xs.pcl1.reshape(b, 3, n).swapaxes(1, 2)        # (B, N, 3)
-    p2 = xs.pcl2.reshape(b, 3, n).swapaxes(1, 2)        # (B, N, 3)
+    p1 = xs.pcl1.reshape(b, n, 3)                        # (B, N, 3)
+    p2 = xs.pcl2.reshape(b, n, 3)                        # (B, N, 3)
     pp = se3.act(pose[:, None, :], p1)                   # (B, N, 3) transformed
 
     # ---- 2D reprojection term -------------------------------------------
@@ -75,7 +75,7 @@ def _residuals_and_jacobians(pose: Array, xs: PoseProblemInputs, img_coords: Arr
     z = jnp.clip(a[..., 2:3], 1e-12, None)
     pi = a[..., :2] / z                                  # projected pixel coords
 
-    flow_off = (img_coords[None, :2] + xs.flow.reshape(b, 2, n)).swapaxes(1, 2)
+    flow_off = img_coords[None, :, :2] + xs.flow.reshape(b, n, 2)
     r2 = pi - flow_off                                   # (B, N, 2)
 
     valid2 = (

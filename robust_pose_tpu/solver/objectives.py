@@ -23,15 +23,17 @@ Array = jax.Array
 
 
 class PoseProblemInputs(NamedTuple):
-    """Inputs of the declarative pose problem (reference pose_head.py:55)."""
+    """Inputs of the declarative pose problem (reference pose_head.py:55).
 
-    flow: Array        # (B, 2, H, W) temporal optical flow, pixels
-    pcl1: Array        # (B, 3, H, W) frame-1 point cloud (normalized depth)
-    pcl2: Array        # (B, 3, H, W) frame-2 point cloud, warped to frame-1 grid
-    weights1: Array    # (B, 1, H, W) 2D confidence in [0, 1]
-    weights2: Array    # (B, 1, H, W) 3D confidence in [0, 1]
-    mask1: Array       # (B, 1, H, W) bool
-    mask2: Array       # (B, 1, H, W) bool
+    NHWC / points-last layout (TPU-native)."""
+
+    flow: Array        # (B, H, W, 2) temporal optical flow, pixels
+    pcl1: Array        # (B, H, W, 3) frame-1 point cloud (normalized depth)
+    pcl2: Array        # (B, H, W, 3) frame-2 point cloud, warped to frame-1 grid
+    weights1: Array    # (B, H, W, 1) 2D confidence in [0, 1]
+    weights2: Array    # (B, H, W, 1) 3D confidence in [0, 1]
+    mask1: Array       # (B, H, W, 1) bool
+    mask2: Array       # (B, H, W, 1) bool
     intrinsics: Array  # (B, 3, 3)
     loss_weight: Array  # (B, 2) learned [w3d, w2d] (reference ordering)
 
@@ -42,16 +44,16 @@ def reprojection_objective(flow: Array, pcl1: Array, weights1: Array, mask1: Arr
 
     (reference core/pose/pose_head.py:12-33)
     """
-    b, _, h, w = flow.shape
-    warped = project(pcl1.reshape(b, 3, -1), intrinsics, pose)[:, :2]
-    flow_off = img_coords[None, :2] + flow.reshape(b, 2, -1)
-    residuals = jnp.sum((flow_off - warped) ** 2, axis=1)
+    b, h, w, _ = flow.shape
+    warped = project(pcl1.reshape(b, -1, 3), intrinsics, pose)[..., :2]
+    flow_off = img_coords[None, :, :2] + flow.reshape(b, -1, 2)
+    residuals = jnp.sum((flow_off - warped) ** 2, axis=-1)
     residuals = residuals * weights1.reshape(b, -1)
     valid = (
-        (flow_off[:, 0] > 0)
-        & (flow_off[:, 1] > 0)
-        & (flow_off[:, 0] < w)
-        & (flow_off[:, 1] < h)
+        (flow_off[..., 0] > 0)
+        & (flow_off[..., 1] > 0)
+        & (flow_off[..., 0] < w)
+        & (flow_off[..., 1] < h)
         & mask1.reshape(b, -1)
         & jnp.isfinite(residuals)
     )
@@ -66,8 +68,8 @@ def depth_objective(pcl1: Array, pcl2: Array, weights2: Array, mask1: Array,
     (reference core/pose/pose_head.py:35-51)
     """
     b = pcl1.shape[0]
-    p1 = transform(pcl1.reshape(b, 3, -1), pose)
-    residuals = jnp.sum((p1 - pcl2.reshape(b, 3, -1)) ** 2, axis=1)
+    p1 = transform(pcl1.reshape(b, -1, 3), pose)
+    residuals = jnp.sum((p1 - pcl2.reshape(b, -1, 3)) ** 2, axis=-1)
     residuals = residuals * weights2.reshape(b, -1)
     valid = (mask1 & mask2).reshape(b, -1)
     residuals = jnp.where(valid, residuals, 0.0)

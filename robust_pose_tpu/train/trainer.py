@@ -40,18 +40,51 @@ class TrainState:
     step: Array
 
 
-def _flow_labels(params, freeze_flow: bool):
-    """'frozen' for the RAFT ('flow') subtree when freeze_flow, else 'train'."""
+def _flow_mask(params):
+    """True for every leaf under the RAFT ('flow') subtree."""
     def label_fn(path, _):
-        is_flow = len(path) > 0 and getattr(path[0], "key", None) == "flow"
-        return "frozen" if (freeze_flow and is_flow) else "train"
+        return len(path) > 0 and getattr(path[0], "key", None) == "flow"
 
     return jax.tree_util.tree_map_with_path(label_fn, params)
 
 
+def _freeze_until(inner, mask, n_steps):
+    """Freeze ``mask`` leaves for the first ``n_steps`` optimizer steps.
+
+    Matches torch AdamW-with-requires_grad-False semantics (reference
+    scripts/train_posenet.py:75,98-99 ``freeze_flow`` + unfreeze at
+    ``freeze_flow_steps``): while frozen, gradients are zeroed BEFORE the
+    inner transform (moments stay exactly zero) and updates are zeroed AFTER
+    it (no weight-decay drift); at unfreeze the moments ramp from zero, like
+    torch params whose ``.grad`` was None.
+
+    :param n_steps: step count before unfreezing; None freezes forever
+    """
+    def _zero_masked(tree, frozen):
+        return jax.tree.map(
+            lambda m, x: jnp.where(frozen, jnp.zeros_like(x), x) if m else x,
+            mask, tree,
+        )
+
+    def init(params):
+        return (jnp.zeros((), jnp.int32), inner.init(params))
+
+    def update(grads, state, params=None):
+        count, inner_state = state
+        frozen = (jnp.array(True) if n_steps is None
+                  else count < jnp.asarray(n_steps, jnp.int32))
+        grads = _zero_masked(grads, frozen)
+        updates, inner_state = inner.update(grads, inner_state, params)
+        updates = _zero_masked(updates, frozen)
+        return updates, (count + 1, inner_state)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(train_cfg: Dict, params, freeze_flow: bool = True):
-    """AdamW + clip for trainable params; frozen RAFT weights get zero
-    updates (optax.masked would pass raw gradients through instead)."""
+    """AdamW + clip; RAFT weights frozen for the first ``freeze_flow_steps``
+    steps (reference configuration/train.yaml:51 — effectively forever in the
+    published config — with the mid-run unfreeze of train_posenet.py:98-99)."""
     opt = optax.chain(
         optax.clip_by_global_norm(train_cfg.get("grad_clip", 1.0)),
         optax.adamw(
@@ -60,10 +93,10 @@ def make_optimizer(train_cfg: Dict, params, freeze_flow: bool = True):
             eps=train_cfg.get("epsilon", 1e-8),
         ),
     )
-    return optax.multi_transform(
-        {"train": opt, "frozen": optax.set_to_zero()},
-        _flow_labels(params, freeze_flow),
-    )
+    if not freeze_flow:
+        return opt
+    n_steps = train_cfg.get("freeze_flow_steps", None)  # None = forever
+    return _freeze_until(opt, _flow_mask(params), n_steps)
 
 
 class PoseNetTrainer:
@@ -91,7 +124,7 @@ class PoseNetTrainer:
                    ) -> TrainState:
         if variables is None:
             H, W = self.config["image_shape"]
-            img = jnp.zeros((1, 3, H, W))
+            img = jnp.zeros((1, H, W, 3))
             K = jnp.eye(3)[None]
             bl = jnp.ones((1,))
             variables = self.model.init(rng, img, img, K, bl, img, img)
@@ -105,13 +138,27 @@ class PoseNetTrainer:
 
     # -- steps ----------------------------------------------------------
 
-    def _loss_fn(self, params, batch_stats, batch):
+    @staticmethod
+    def _nhwc_batch(batch):
+        """Datasets emit NCHW (reference tensor contract); the model is NHWC.
+        One boundary transpose per step."""
         (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = batch
+        t = lambda x: jnp.transpose(x, (0, 2, 3, 1))
+        return (t(img1), t(img2), t(img1r), t(img2r), t(mask1), t(mask2),
+                gt_pose, K, bl)
+
+    def _loss_fn(self, params, batch_stats, batch, step):
+        (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = (
+            self._nhwc_batch(batch))
         variables = {"params": params, "batch_stats": batch_stats}
+        rngs = None
+        if self.config["model"].get("dropout", 0.0) > 0.0:
+            rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(1234),
+                                                  step)}
         out, mutated = self.model.apply(
             variables, img1, img2, K, bl, img1r, img2r,
             mask1.astype(bool), mask2.astype(bool), train=True,
-            mutable=["batch_stats"],
+            mutable=["batch_stats"], rngs=rngs,
         )
         loss_pose = supervised_pose_loss(out.pose_tan, gt_pose)
         loss = jnp.mean(loss_pose)
@@ -126,7 +173,7 @@ class PoseNetTrainer:
         def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
             grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
             (loss, (loss_pose, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch
+                state.params, state.batch_stats, batch, state.step
             )
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
@@ -151,7 +198,8 @@ class PoseNetTrainer:
         shard = NamedSharding(mesh, P(DATA_AXIS))
 
         def step(state: TrainState, batch) -> Dict:
-            (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = batch
+            (img1, img2, img1r, img2r, mask1, mask2, gt_pose, K, bl) = (
+                self._nhwc_batch(batch))
             variables = {"params": state.params,
                          "batch_stats": state.batch_stats}
             out = self.model.apply(

@@ -80,11 +80,32 @@ def _convert_encoder(params, stats, sd, tpre: str, jpre: str, norm: str):
                                 f"{jb}/norm3")
 
 
+def _permute_corr_window(kernel: np.ndarray, radius: int = 4,
+                         levels: int = 4) -> np.ndarray:
+    """Transpose the per-level (D, D) correlation-window channel blocks of a
+    convc1 kernel (kh, kw, levels*D*D, O).
+
+    Upstream RAFT samples the window with ``delta = meshgrid(dy, dx)`` whose
+    FIRST component displaces X (corr.py quirk), so checkpoint channels are
+    x-offset-major; this package's lookup emits y-offset-major windows.
+    """
+    d = 2 * radius + 1
+    kh, kw, cin, cout = kernel.shape
+    assert cin == levels * d * d, (cin, levels, d)
+    k = kernel.reshape(kh, kw, levels, d, d, cout)
+    return k.transpose(0, 1, 2, 4, 3, 5).reshape(kernel.shape)
+
+
 def _convert_update_block(params, sd, tpre: str, jpre: str):
     enc = f"{tpre}.encoder"
     jenc = f"{jpre}/encoder"
     for name in ("convc1", "convc2", "convf1", "convf2", "conv"):
         _convert_conv(params, sd, f"{enc}.{name}", f"{jenc}/{name}")
+    # remap the correlation-window channel order (see _permute_corr_window)
+    node = params
+    for p in f"{jenc}/convc1".split("/"):
+        node = node[p]
+    node["kernel"] = _permute_corr_window(node["kernel"])
     for name in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
         _convert_conv(params, sd, f"{tpre}.gru.{name}", f"{jpre}/gru/{name}")
     _convert_conv(params, sd, f"{tpre}.flow_head.conv1", f"{jpre}/flow_head/conv1")

@@ -50,9 +50,9 @@ def _color_wheel() -> np.ndarray:
 
 
 def flow_to_image(flow: np.ndarray) -> np.ndarray:
-    """(2, H, W) flow -> (H, W, 3) uint8 color coding (torchvision
+    """(H, W, 2) flow -> (H, W, 3) uint8 color coding (torchvision
     ``flow_to_image`` analogue used at reference viewer2d.py:33)."""
-    u, v = np.asarray(flow[0], float), np.asarray(flow[1], float)
+    u, v = np.asarray(flow[..., 0], float), np.asarray(flow[..., 1], float)
     rad = np.sqrt(u ** 2 + v ** 2)
     rad_max = max(rad.max(), 1e-5)
     u, v = u / rad_max, v / rad_max
@@ -87,15 +87,15 @@ class Viewer2D:
 
     def __call__(self, frame, weights, flow, idx: int = 0):
         fig, ax = plt.subplots(1, 5, num=1, clear=True, figsize=(10, 8))
-        img_t = np.asarray(frame.img[0]).transpose(1, 2, 0) / 255.0
-        depth_t = np.asarray(frame.depth[0, 0])
+        img_t = np.asarray(frame.img[0]) / 255.0       # (H, W, 3) NHWC
+        depth_t = np.asarray(frame.depth[0, ..., 0])
         flow_rgb = flow_to_image(np.asarray(flow[0]))
         panels = [
             (np.clip(img_t, 0, 1), "I_t"),
             (depth_t, "depth_t"),
             (flow_rgb, "flow"),
-            (np.asarray(weights[0][0, 0]), "w_2d"),
-            (np.asarray(weights[1][0, 0]), "w_3d"),
+            (np.asarray(weights[0][0, ..., 0]), "w_2d"),
+            (np.asarray(weights[1][0, ..., 0]), "w_3d"),
         ]
         for a, (im, title) in zip(ax, panels):
             a.imshow(im, vmin=0 if im.ndim == 2 else None)

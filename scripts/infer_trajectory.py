@@ -60,10 +60,24 @@ def main(args, config):
                       UserWarning)
         sampler = None
 
+    # viewer wiring mirrors reference scripts/infer_trajectory.py:62-68
     viewer = None
     if args.viewer == "2d":
         from robust_pose_tpu.viewer.viewer2d import Viewer2D
         viewer = Viewer2D(outpath=args.outpath, blocking=args.block_viewer)
+    elif args.viewer == "3d":
+        try:
+            from robust_pose_tpu.viewer.viewer3d import Viewer3D
+            viewer = Viewer3D(config["img_size"][::-1],
+                              blocking=args.block_viewer)
+        except ImportError as e:
+            warnings.warn(f"--viewer 3d needs open3d ({e}); disabled.")
+    elif args.viewer == "video":
+        try:
+            from robust_pose_tpu.viewer.view_renderer import ViewRenderer
+            viewer = ViewRenderer(config["img_size"][::-1], args.outpath)
+        except ImportError as e:
+            warnings.warn(f"--viewer video needs open3d ({e}); disabled.")
 
     recorder = InferenceLogger(log=args.log)
     recorder.set_gt(gt_trajectory)
@@ -89,7 +103,17 @@ def main(args, config):
             pose_np = np.asarray(pose[0])
         trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
         if viewer is not None and i > 0:
-            viewer(pose_estimator.get_frame(), weights, flow, i * args.step)
+            if args.viewer == "2d":
+                viewer(pose_estimator.get_frame(), weights, flow,
+                       i * args.step)
+            elif scene is not None:
+                # 3d/video viewers follow the camera through the surfel map
+                # (reference infer_trajectory.py:80-90)
+                from robust_pose_tpu.viewer.viewer3d import surfels_to_open3d
+                pcd = surfels_to_open3d(scene.state,
+                                        depth_scale=scene.depth_scale,
+                                        stable=True)
+                viewer(np.asarray(pose[0]), pcd)
         if args.log is not None and i > 0:
             recorder(scene, pose_np, step=int(img_number))
 

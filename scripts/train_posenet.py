@@ -78,7 +78,7 @@ def main(args, config, force_cpu=False):
         import jax.numpy as jnp
 
         H, W = config["image_shape"]
-        img = jnp.zeros((1, 3, H, W))
+        img = jnp.zeros((1, H, W, 3))
         K = jnp.eye(3)[None]
         variables = trainer.model.init(jax.random.PRNGKey(1234), img, img, K,
                                        jnp.ones((1,)), img, img)

