@@ -62,7 +62,7 @@ class PoseNet(nn.Module):
             corr_dtype=jnp.bfloat16 if mp else jnp.float32,
             small=self.config.get("small", False),
             dropout=self.config.get("dropout", 0.0),
-            lookup=self.config.get("lookup", "lanewise"),
+            lookup=self.config.get("lookup", "auto"),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)

@@ -39,6 +39,20 @@ HDIM = 128  # GRU hidden dim (proven by reference weight-head input channel math
 CDIM = 128  # core/pose/pose_net.py:24-27: 128 + 128 + 8)
 
 
+def instance_norm(x: Array, eps: float = 1e-5) -> Array:
+    """torch ``InstanceNorm2d(affine=False)``: per-(sample, channel) spatial
+    normalization, NHWC, statistics in f32.
+
+    Written directly instead of ``nn.GroupNorm(group_size=1)``: flax's
+    group reshape makes the channel axis a degenerate ``(C, 1)`` minor dim,
+    which the TPU lane-pads 128x — measured 13 ms/encoder-pass of pure
+    normalization overhead at 512x640 batch 4 (vs ~1 ms for this form)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=(1, 2), keepdims=True)
+    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
 class ResidualBlock(nn.Module):
     planes: int
     norm: str = "instance"
@@ -47,9 +61,7 @@ class ResidualBlock(nn.Module):
 
     def _norm(self, name):
         if self.norm == "instance":
-            # torch InstanceNorm2d(affine=False); statistics in f32
-            return nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                                use_scale=False, dtype=self.dtype, name=name)
+            return instance_norm
         elif self.norm == "batch":
             return nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                 name=name)
@@ -89,8 +101,7 @@ class BasicEncoder(nn.Module):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, dtype=self.dtype,
                     name="conv1")(x)
         if self.norm == "instance":
-            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                             use_scale=False, dtype=self.dtype, name="norm1")(x)
+            x = instance_norm(x)
         else:
             x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                              name="norm1")(x)
@@ -241,8 +252,7 @@ class SmallEncoder(nn.Module):
         x = nn.Conv(32, (7, 7), strides=2, padding=3, dtype=self.dtype,
                     name="conv1")(x)
         if self.norm == "instance":
-            x = nn.GroupNorm(num_groups=None, group_size=1, use_bias=False,
-                             use_scale=False, dtype=self.dtype, name="norm1")(x)
+            x = instance_norm(x)
         elif self.norm == "batch":
             x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                              name="norm1")(x)
@@ -508,7 +518,15 @@ class _UpdateStep(nn.Module):
     @nn.compact
     def __call__(self, carry, pyramid, inp, coords0):
         radius = 3 if self.small else CORR_RADIUS
-        if self.lookup == "lanewise":
+        if self.lookup == "onthefly":
+            from robust_pose_tpu.ops.pallas_corr_onthefly import (
+                onthefly_lookup,
+            )
+            f1, f2_levels = pyramid
+            corr = onthefly_lookup(f1, f2_levels, carry["coords1"],
+                                   radius=radius,
+                                   interpret=jax.default_backend() == "cpu")
+        elif self.lookup == "lanewise":
             from robust_pose_tpu.ops.pallas_lookup_lanewise import (
                 lanewise_lookup,
             )
@@ -548,11 +566,22 @@ class RAFT(nn.Module):
     dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
     small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
     dropout: float = 0.0  # encoder Dropout2d rate (upstream RAFT; train only)
-    lookup: str = "lanewise"  # correlation lookup implementation:
+    lookup: str = "auto"  # correlation lookup implementation:
+    # "auto" — "onthefly" on TPU, "xla" on CPU (avoids interpret-mode Pallas
+    #   in CPU CI; kernel correctness is covered by dedicated interpret tests)
+    # "onthefly" — alt_cuda_corr-style Pallas kernel: the volume is never
+    #   materialized; each 128-query block is recomputed on the MXU from the
+    #   feature maps (ops/pallas_corr_onthefly.py) — removes ~1.7 GB/step of
+    #   HBM volume traffic
     # "lanewise" — lane-parallel Pallas kernel over the transposed volume
     #   (ops/pallas_lookup_lanewise.py, ~3x faster than the XLA path on v5e)
     # "xla" — one-hot-matmul formulation (lookup_corr)
     # "grouped" — round-1 block-diagonal Pallas kernel (kept for comparison)
+
+    def _resolve_lookup(self) -> str:
+        if self.lookup == "auto":
+            return "xla" if jax.default_backend() == "cpu" else "onthefly"
+        return self.lookup
 
     @nn.compact
     def __call__(self, image1: Array, image2: Array, train: bool = False):
@@ -579,7 +608,18 @@ class RAFT(nn.Module):
         net = nn.tanh(c[..., :hdim])
         inp = nn.relu(c[..., hdim:])
 
-        if self.lookup == "lanewise":
+        lookup = self._resolve_lookup()
+        if lookup == "onthefly":
+            from robust_pose_tpu.ops.pallas_corr_onthefly import (
+                pool_fmap_pyramid,
+            )
+            # the volume is never materialized: the kernel recomputes each
+            # 128-query block on the MXU from these features (f2 mean-pooled
+            # per level in f32 — exactly equivalent to pooling the volume)
+            f2_levels = [l.astype(self.corr_dtype)
+                         for l in pool_fmap_pyramid(fmap2.astype(jnp.float32))]
+            pyramid = (fmap1.astype(self.corr_dtype), f2_levels)
+        elif lookup == "lanewise":
             from robust_pose_tpu.ops.pallas_lookup_lanewise import (
                 build_corr_pyramid_t,
             )
@@ -613,7 +653,7 @@ class RAFT(nn.Module):
             length=self.iters,
         )
         carry, _ = scan(dtype=self.dtype, small=self.small,
-                        lookup=self.lookup, name="update")(
+                        lookup=lookup, name="update")(
             carry0, pyramid, inp, coords0)
 
         flow8 = carry["coords1"] - coords0

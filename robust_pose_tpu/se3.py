@@ -192,13 +192,24 @@ def skew(w: Array) -> Array:
 
 
 def _V_coeffs(theta_sq: Array):
-    """Coefficients B=(1-cos)/t^2, C=(t-sin)/t^3 with small-angle fallbacks."""
+    """Coefficients B=(1-cos)/t^2, C=(t-sin)/t^3 with small-angle fallbacks.
+
+    The analytic branches cancel catastrophically in f32 well before they
+    divide by zero (1-cos(t) loses ALL bits at t^2 ~ 2 eps), so the Taylor
+    branch takes over at t^2 < 1e-2 where its truncation error (~t^4/720)
+    is ~1e-7 — far below the f32 rounding of the analytic form there."""
     theta = _safe_sqrt(theta_sq)
-    small = theta_sq < 1e-8
+    small = theta_sq < 1e-2
     safe = jnp.where(small, 1.0, theta_sq)
-    B = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe)
+    B = jnp.where(
+        small,
+        0.5 - theta_sq / 24.0 + theta_sq * theta_sq / 720.0,
+        (1.0 - jnp.cos(theta)) / safe,
+    )
     C = jnp.where(
-        small, 1.0 / 6.0 - theta_sq / 120.0, (theta - jnp.sin(theta)) / (safe * jnp.where(small, 1.0, theta))
+        small,
+        1.0 / 6.0 - theta_sq / 120.0 + theta_sq * theta_sq / 5040.0,
+        (theta - jnp.sin(theta)) / (safe * jnp.where(small, 1.0, theta)),
     )
     return B, C
 
@@ -225,11 +236,22 @@ def log(g: Array) -> Array:
     B, C = _V_coeffs(theta_sq)
     # V^-1 = I - 1/2 [w]x + D [w]x^2,  D = (1 - A/(2B)) / theta^2
     # with A = sin/t; small-angle D -> 1/12
+    # D = (1 - (t/2)cot(t/2)) / t^2 cancels in f32 below t^2 ~ 1e-2 (the
+    # numerator is ~t^2/12 against ~eps rounding of A/(2B)) — same widened
+    # Taylor threshold as _V_coeffs; series 1/12 + t^2/720 + t^4/30240
     theta = _safe_sqrt(theta_sq)
-    small = theta_sq < 1e-8
+    small = theta_sq < 1e-2
     safe = jnp.where(small, 1.0, theta_sq)
-    A = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / jnp.where(small, 1.0, theta))
-    D = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0, (1.0 - A / (2.0 * B)) / safe)
+    A = jnp.where(
+        small,
+        1.0 - theta_sq / 6.0 + theta_sq * theta_sq / 120.0,
+        jnp.sin(theta) / jnp.where(small, 1.0, theta),
+    )
+    D = jnp.where(
+        small,
+        1.0 / 12.0 + theta_sq / 720.0 + theta_sq * theta_sq / 30240.0,
+        (1.0 - A / (2.0 * B)) / safe,
+    )
     wxt = jnp.cross(w, t)
     wxwxt = jnp.cross(w, wxt)
     v = t - 0.5 * wxt + D * wxwxt

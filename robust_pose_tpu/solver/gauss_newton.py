@@ -49,6 +49,10 @@ class SolverConfig(NamedTuple):
     eps_optimality: float = 1e-3  # reference DeclarativeNodeLie eps (pose_head.py:7)
     gamma: float = 0.0            # optional Hessian damping in backward
     dtype: jnp.dtype = jnp.float32
+    impl: str = "auto"  # normal-equation build: "pallas" (fused TPU kernel,
+    # ops/pallas_normal_eq.py — streams the pixel planes once per iteration
+    # instead of materializing (B,N,2,6)/(B,N,3,6) Jacobians in HBM),
+    # "xla" (einsum formulation), "auto" (pallas on TPU, xla on CPU)
 
 
 # ---------------------------------------------------------------------------
@@ -136,12 +140,32 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
     (core/pose/pose_head.py:60-79): starts at identity, fixed iteration count,
     batched over B. Runs entirely on device inside ``lax.fori_loop``.
     """
-    b = xs.flow.shape[0]
+    b, h, w, _ = xs.flow.shape
     dtype = cfg.dtype
     xs = jax.tree.map(
         lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x, xs
     )
     eye6 = jnp.eye(6, dtype=dtype)
+
+    impl = cfg.impl
+    if impl == "auto":
+        impl = "xla" if (jax.default_backend() == "cpu"
+                         or dtype != jnp.float32) else "pallas"
+    if impl == "pallas":
+        from robust_pose_tpu.ops.pallas_normal_eq import (
+            normal_equations_pallas,
+            pack_planes,
+        )
+        # pre-transpose the loop-invariant pixel planes ONCE; each LM
+        # iteration then runs the fused H/g/cost kernel
+        planes, kvec = pack_planes(xs, h, w)
+
+        def normal_eq(pose):
+            return normal_equations_pallas(pose, planes, kvec,
+                                           xs.loss_weight, h, w)
+    else:
+        def normal_eq(pose):
+            return _normal_equations(pose, xs, img_coords)
 
     def propose(H, g, lam, pose):
         """LM step from (H, g) at ``pose`` with Marquardt diag damping."""
@@ -159,14 +183,14 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
     # damping factor. Halves the per-iteration residual evaluations vs the
     # textbook accept/reject loop.
     pose0 = se3.identity((b,), dtype=dtype)
-    H0, g0, cost0 = _normal_equations(pose0, xs, img_coords)
+    H0, g0, cost0 = normal_eq(pose0)
     lam0 = jnp.full((b,), cfg.init_lambda, dtype=dtype)
     trial0 = propose(H0, g0, lam0, pose0)
     state0 = (pose0, cost0, H0, g0, lam0, trial0)
 
     def body(_, state):
         pose, cost, H, g, lam, trial = state
-        H_t, g_t, cost_t = _normal_equations(trial, xs, img_coords)
+        H_t, g_t, cost_t = normal_eq(trial)
         accept = cost_t < cost
 
         acc = lambda a, b_: jnp.where(

@@ -165,7 +165,7 @@ def _objective_at(tmodel, frames, K, baseline, idx, pose7):
                 xs64 = [x.double() if torch.is_floating_point(x) else x
                         for x in xs]
                 val = tmodel.pose_head.objective(
-                    xs64, torch.tensor(pose7, torch.float64)[None]
+                    xs64, torch.tensor(pose7, dtype=torch.float64)[None]
                     if not torch.is_tensor(pose7)
                     else pose7.double()[None], H, W)
                 return float(val)

@@ -261,6 +261,73 @@ def test_lanewise_lookup_matches_oracle_interpret():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_onthefly_lookup_matches_oracle_interpret():
+    """On-the-fly correlation kernel (volume recomputed per block on the MXU,
+    never materialized in HBM) vs gather oracle, including out-of-bounds
+    windows, ragged N, and exact gradients through the XLA-reference VJP."""
+    from robust_pose_tpu.models.raft import lookup_corr_gather
+    from robust_pose_tpu.ops.pallas_corr_onthefly import (
+        onthefly_lookup,
+        pool_fmap_pyramid,
+    )
+
+    b, h8, w8, c = 2, 16, 24, 8  # N = 384 = 3 x 128
+    f1 = jax.random.normal(jax.random.PRNGKey(0), (b, h8, w8, c))
+    f2 = jax.random.normal(jax.random.PRNGKey(1), (b, h8, w8, c))
+    pyr = build_corr_pyramid(f1, f2)
+    f2_levels = pool_fmap_pyramid(f2)
+    xg, yg = jnp.meshgrid(jnp.arange(w8, dtype=jnp.float32),
+                          jnp.arange(h8, dtype=jnp.float32), indexing="xy")
+    base = jnp.tile(jnp.stack([xg, yg], -1)[None], (b, 1, 1, 1))
+
+    for coords in (base + jnp.array([3.3, -2.7]), base * 3.0 - 50.0):
+        ref = lookup_corr_gather(pyr, coords)
+        outs = onthefly_lookup(f1, f2_levels, coords, interpret=True)
+        got = jnp.concatenate(
+            [o.reshape(b, 81, h8, w8).transpose(0, 2, 3, 1) for o in outs],
+            axis=-1)
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # ragged N (pad path): 10x9 = 90 pixels < 128
+    h2, w2 = 10, 9
+    f1s = jax.random.normal(jax.random.PRNGKey(2), (1, h2, w2, c))
+    f2s = jax.random.normal(jax.random.PRNGKey(3), (1, h2, w2, c))
+    pyr_s = build_corr_pyramid(f1s, f2s)
+    coords = (jnp.stack(jnp.meshgrid(jnp.arange(w2, dtype=jnp.float32),
+                                     jnp.arange(h2, dtype=jnp.float32),
+                                     indexing="xy"), -1)[None] + 0.4)
+    ref = lookup_corr_gather(pyr_s, coords)
+    outs = onthefly_lookup(f1s, pool_fmap_pyramid(f2s), coords,
+                           interpret=True)
+    got = jnp.concatenate(
+        [o.reshape(1, 81, h2, w2).transpose(0, 2, 3, 1) for o in outs],
+        axis=-1)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # gradients: custom VJP (XLA reference recompute) vs autodiff through the
+    # differentiable gather oracle
+    coords = base + jnp.array([1.3, -0.7])
+
+    def loss_kernel(f1_, f2_, cs):
+        outs = onthefly_lookup(f1_, pool_fmap_pyramid(f2_), cs,
+                               interpret=True)
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    def loss_oracle(f1_, f2_, cs):
+        out = lookup_corr_gather(build_corr_pyramid(f1_, f2_), cs)
+        # oracle is (B, H, W, 4*81) level-major; kernel list matches per level
+        b_, h_, w_, _ = cs.shape
+        outs = [out[..., 81 * l:81 * (l + 1)]
+                .transpose(0, 3, 1, 2).reshape(b_, 81, h_ * w_)
+                for l in range(4)]
+        return sum(jnp.sum(jnp.sin(o)) for o in outs)
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(f1, f2, coords)
+    g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(f1, f2, coords)
+    for a, b_ in zip(g_k, g_o):
+        np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
+
+
 def test_raft_lookup_impls_agree():
     """RAFT forward with lookup='lanewise' matches lookup='xla' (f32)."""
     img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3))
@@ -273,6 +340,10 @@ def test_raft_lookup_impls_agree():
     f_lane, n_lane, i_lane = jax.jit(m_lane.apply)(variables, img1, img2)
     np.testing.assert_allclose(f_lane, f_xla, rtol=1e-4, atol=1e-3)
     np.testing.assert_allclose(n_lane, n_xla, rtol=1e-4, atol=1e-3)
+    m_otf = RAFT(lookup="onthefly", **kw)
+    f_otf, n_otf, i_otf = jax.jit(m_otf.apply)(variables, img1, img2)
+    np.testing.assert_allclose(f_otf, f_xla, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(n_otf, n_xla, rtol=1e-4, atol=1e-3)
 
 
 def test_raft_dropout_config_honored():

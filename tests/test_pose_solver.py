@@ -170,6 +170,77 @@ def test_solver_under_debug_nans():
         assert jnp.all(jnp.isfinite(solved))
 
 
+def test_pallas_normal_equations_matches_xla():
+    """Fused Pallas H/g/cost kernel (interpret mode) vs the einsum
+    formulation, at a non-identity pose, with partial masks/weights and a
+    non-128-multiple pixel count exercising the padding path."""
+    from robust_pose_tpu.ops.pallas_normal_eq import (
+        normal_equations_pallas,
+        pack_planes,
+    )
+    from robust_pose_tpu.solver.gauss_newton import _normal_equations
+
+    xs, poses, coords = _make_problem(jax.random.PRNGKey(21))
+    # de-trivialize: random weights, partial masks, perturbed 3D targets
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    xs = xs._replace(
+        weights1=jax.random.uniform(k1, xs.weights1.shape),
+        weights2=jax.random.uniform(k2, xs.weights2.shape),
+        mask2=jax.random.uniform(k3, xs.mask2.shape) > 0.2,
+        pcl2=xs.pcl2 + 0.1,
+    )
+    pose = se3.exp(0.02 * jnp.ones((N_BATCH, 6)))
+
+    H_ref, g_ref, cost_ref = _normal_equations(pose, xs, coords)
+    planes, kvec = pack_planes(xs, H, W)
+    H_k, g_k, cost_k = normal_equations_pallas(
+        pose, planes, kvec, xs.loss_weight, H, W, interpret=True)
+    np.testing.assert_allclose(H_k, H_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(cost_k, cost_ref, rtol=1e-4, atol=1e-9)
+
+    # ragged pixel count (pad path): 20x30 = 600 pixels
+    h2, w2 = 20, 30
+    sl = lambda a: a[:, :h2, :w2]
+    xs2 = PoseProblemInputs(
+        flow=sl(xs.flow), pcl1=sl(xs.pcl1), pcl2=sl(xs.pcl2),
+        weights1=sl(xs.weights1), weights2=sl(xs.weights2),
+        mask1=sl(xs.mask1), mask2=sl(xs.mask2),
+        intrinsics=xs.intrinsics, loss_weight=xs.loss_weight)
+    coords2 = create_img_coords(h2, w2)
+    H_ref, g_ref, cost_ref = _normal_equations(pose, xs2, coords2)
+    planes2, kvec2 = pack_planes(xs2, h2, w2)
+    H_k, g_k, cost_k = normal_equations_pallas(
+        pose, planes2, kvec2, xs2.loss_weight, h2, w2, interpret=True)
+    np.testing.assert_allclose(H_k, H_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(g_k, g_ref, rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(cost_k, cost_ref, rtol=1e-4, atol=1e-9)
+
+
+def test_solver_pallas_impl_matches_xla_interpret():
+    """solve_pose with the fused Pallas normal equations (interpret mode)
+    must land on the same pose as the XLA implementation."""
+    from robust_pose_tpu.ops import pallas_normal_eq
+
+    xs, poses, coords = _make_problem(jax.random.PRNGKey(12345))
+
+    # route the pallas path through interpret mode on CPU
+    orig = pallas_normal_eq.normal_equations_pallas
+
+    def interp(pose, planes, kvec, lw, h, w, interpret=False):
+        return orig(pose, planes, kvec, lw, h, w, interpret=True)
+
+    pallas_normal_eq.normal_equations_pallas = interp
+    try:
+        solved_p, tau_p = solve_pose(xs, coords,
+                                     SolverConfig(iters=15, impl="pallas"))
+    finally:
+        pallas_normal_eq.normal_equations_pallas = orig
+    solved_x, tau_x = solve_pose(xs, coords,
+                                 SolverConfig(iters=15, impl="xla"))
+    np.testing.assert_allclose(tau_p, tau_x, rtol=1e-3, atol=1e-5)
+
+
 def test_generic_declarative_layer():
     """Generic implicit-diff layer (solver/declarative.py) on a quadratic
     argmin: y*(x) = x/2 for E = |y|^2 + |y - x|^2 -> dy*/dx = 1/2."""
