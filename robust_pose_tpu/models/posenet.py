@@ -116,17 +116,18 @@ class PoseNet(nn.Module):
         """Warp frame-2 quantities into frame-1 correspondence and predict
         2D/3D confidence maps (reference pose_net.py:102-119).
 
-        The three bilinear warps share one gather over the channel concat
-        (TPU gathers are per-call row fetches; 4 corner gathers of 8 channels
-        beat 12 of 2-3 — ~6 ms/step at 512x640)."""
+        All four warps (three bilinear payloads + the nearest mask) share a
+        SINGLE 2x2-patch gather (ops/warp.warp_bilinear_nearest) — the gather
+        fetch count, not bytes, dominates TPU warp cost."""
+        from robust_pose_tpu.ops.warp import warp_bilinear_nearest
+
         packed = jnp.concatenate([pcl2, image2l, stereo_flow2], axis=-1)
-        packed_w, _ = remap_from_flow(packed, time_flow)
+        packed_w, _, mask2f, valid_mapping = warp_bilinear_nearest(
+            packed, mask2.astype(jnp.float32), time_flow
+        )
         pcl2 = packed_w[..., :3]
         image2l_w = packed_w[..., 3:6]
         stereo_flow2_w = packed_w[..., 6:8]
-        mask2f, valid_mapping = remap_from_flow_nearest(
-            mask2.astype(jnp.float32), time_flow
-        )
         mask2 = valid_mapping & (mask2f > 0)
 
         if self.config.get("use_weights", True):
@@ -164,9 +165,14 @@ class PoseNet(nn.Module):
         """Single fused step: temporal + stereo flow batched through one RAFT
         pass (reference pose_net.py:62-69), depth, weight maps, GN solve."""
         b = image1l.shape[0]
-        ref_imgs = jnp.concatenate([image1l, image2l], axis=0)
-        trg_imgs = jnp.concatenate([image2l, image2r], axis=0)
-        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs)
+        # batched temporal+stereo flow in one RAFT pass (reference
+        # pose_net.py:62-69); pairs (img1,img2),(img2,img2r) share img2, so
+        # the encoders run on the 3 UNIQUE images via RAFT's dedup path
+        uimgs = jnp.concatenate([image1l, image2l, image2r], axis=0)
+        idx1 = tuple(range(b)) + tuple(range(b, 2 * b))
+        idx2 = tuple(range(b, 2 * b)) + tuple(range(2 * b, 3 * b))
+        flows, hidden, context = self.flow_net(
+            None, None, unique=(uimgs, idx1, idx2))
         time_flow, stereo_flow2 = flows[:b], flows[b:]
         hidden, context = hidden[:b], context[:b]
 
@@ -194,10 +200,15 @@ class PoseNet(nn.Module):
                  ) -> PoseNetOutputs:
         b = image1l.shape[0]
         # batch both stereo pairs and the temporal pair through one RAFT pass
-        # (generalizes the reference's inference-time batching trick to train)
-        ref_imgs = jnp.concatenate([image1l, image2l, image1l], axis=0)
-        trg_imgs = jnp.concatenate([image1r, image2r, image2l], axis=0)
-        flows, hidden, context = self.run_flow(ref_imgs, trg_imgs, train)
+        # (generalizes the reference's inference-time batching trick to
+        # train); of the 6 pair slots only 4 images are unique — the encoders
+        # run deduplicated (pairs: (1l,1r), (2l,2r), (1l,2l))
+        uimgs = jnp.concatenate([image1l, image2l, image1r, image2r], axis=0)
+        r = lambda k: tuple(range(k * b, (k + 1) * b))
+        idx1 = r(0) + r(1) + r(0)
+        idx2 = r(2) + r(3) + r(1)
+        flows, hidden, context = self.flow_net(
+            None, None, train, unique=(uimgs, idx1, idx2))
         stereo_flow1, stereo_flow2, time_flow = flows[:b], flows[b:2 * b], flows[2 * b:]
         hidden, context = hidden[2 * b:], context[2 * b:]
 

@@ -39,18 +39,10 @@ HDIM = 128  # GRU hidden dim (proven by reference weight-head input channel math
 CDIM = 128  # core/pose/pose_net.py:24-27: 128 + 128 + 8)
 
 
-def instance_norm(x: Array, eps: float = 1e-5) -> Array:
-    """torch ``InstanceNorm2d(affine=False)``: per-(sample, channel) spatial
-    normalization, NHWC, statistics in f32.
-
-    Written directly instead of ``nn.GroupNorm(group_size=1)``: flax's
-    group reshape makes the channel axis a degenerate ``(C, 1)`` minor dim,
-    which the TPU lane-pads 128x — measured 13 ms/encoder-pass of pure
-    normalization overhead at 512x640 batch 4 (vs ~1 ms for this form)."""
-    x32 = x.astype(jnp.float32)
-    mu = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mu), axis=(1, 2), keepdims=True)
-    return ((x32 - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+from robust_pose_tpu.ops.pallas_instance_norm import instance_norm  # noqa: E402
+# (torch InstanceNorm2d(affine=False) semantics; single-pass Pallas stats on
+# TPU — nn.GroupNorm(group_size=1) and plain XLA mean/var formulations both
+# cost ~1 ms per norm in-context at 512x640, see ops/pallas_instance_norm.py)
 
 
 class ResidualBlock(nn.Module):
@@ -584,27 +576,52 @@ class RAFT(nn.Module):
         return self.lookup
 
     @nn.compact
-    def __call__(self, image1: Array, image2: Array, train: bool = False):
-        b, h, w, _ = image1.shape
+    def __call__(self, image1: Array, image2: Array, train: bool = False,
+                 unique=None):
+        """``unique=(images (Bu,H,W,3), idx1, idx2)`` is the deduplicated
+        batching path: PoseNet's batched flow passes repeat images across
+        pair slots (inference pairs (img1,img2),(img2,img2r) share img2;
+        training shares two of six slots), so the encoders run once per
+        UNIQUE image and features are gathered per static index tuple —
+        exactly equivalent, ~25-33% less encoder work."""
+        if unique is not None:
+            uimgs, idx1, idx2 = unique
+            b = len(idx1)
+            _, h, w, _ = uimgs.shape
+        else:
+            b, h, w, _ = image1.shape
         h8, w8 = h // 8, w // 8
         hdim = 96 if self.small else HDIM
         cdim = 64 if self.small else CDIM
 
-        image1 = 2.0 * (image1 / 255.0) - 1.0
-        image2 = 2.0 * (image2 / 255.0) - 1.0
-
         enc_cls = SmallEncoder if self.small else BasicEncoder
         fnet = enc_cls(output_dim=128 if self.small else 256, norm="instance",
                        dtype=self.dtype, dropout=self.dropout, name="fnet")
-        # batching the two frames through the shared feature encoder mirrors
-        # the reference (RAFT fnet([image1, image2]))
-        fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
-        fmap1, fmap2 = fmaps[:b], fmaps[b:]
-
         cnet = enc_cls(output_dim=hdim + cdim,
                        norm="none" if self.small else "batch",
                        dtype=self.dtype, dropout=self.dropout, name="cnet")
-        c = cnet(image1, train)
+
+        def gather(x, ids):
+            return jnp.concatenate([x[i:i + 1] for i in ids], axis=0)
+
+        if unique is not None:
+            uimgs = 2.0 * (uimgs / 255.0) - 1.0
+            fmaps = fnet(uimgs, train)
+            fmap1 = gather(fmaps, idx1)
+            fmap2 = gather(fmaps, idx2)
+            # context net runs on the unique reference images only
+            ref_ids = sorted(set(idx1))
+            remap = {u: j for j, u in enumerate(ref_ids)}
+            c_u = cnet(gather(uimgs, ref_ids), train)
+            c = gather(c_u, [remap[i] for i in idx1])
+        else:
+            image1 = 2.0 * (image1 / 255.0) - 1.0
+            image2 = 2.0 * (image2 / 255.0) - 1.0
+            # batching the two frames through the shared feature encoder
+            # mirrors the reference (RAFT fnet([image1, image2]))
+            fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
+            fmap1, fmap2 = fmaps[:b], fmaps[b:]
+            c = cnet(image1, train)
         net = nn.tanh(c[..., :hdim])
         inp = nn.relu(c[..., hdim:])
 

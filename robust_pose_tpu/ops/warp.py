@@ -70,6 +70,63 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array,
     )
 
 
+def _inb(ix, iy, w, h):
+    return ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h))
+
+
+def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
+    """Fused warp: bilinear-sample ``x`` AND nearest-sample ``nearest_x`` at
+    the flow-displaced coordinates, sharing the four corner row-gathers (the
+    nearest pixel is always one of the four bilinear corners, so the nearest
+    payload rides the same fetches as a packed extra channel).
+
+    NOTE a 2x2-patch formulation via ``lax.gather(slice_sizes=(2, 2C))``
+    lowers to a serialized loop on TPU (measured 564 ms vs 8 ms here) —
+    take_along_axis row gathers are the only fast gather shape.
+
+    :param x: (B, H, W, C) bilinear payload
+    :param nearest_x: (B, H, W, Cn) nearest payload (or None)
+    :return: (warped (B,H,W,C), valid (B,H,W,1),
+              nearest_warped (B,H,W,Cn) | None, nearest_valid | None)
+    — identical semantics to remap_from_flow / remap_from_flow_nearest.
+    """
+    b, h, w, c = x.shape
+    cx, cy = _flow_target_coords(flow)
+    packed = x if nearest_x is None else jnp.concatenate(
+        [x, nearest_x.astype(x.dtype)], axis=-1)
+
+    x0f = jnp.floor(cx)
+    y0f = jnp.floor(cy)
+    wx = (cx - x0f)[..., None]
+    wy = (cy - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    v00 = _gather_pix(packed, x0, y0)
+    v01 = _gather_pix(packed, x0 + 1, y0)
+    v10 = _gather_pix(packed, x0, y0 + 1)
+    v11 = _gather_pix(packed, x0 + 1, y0 + 1)
+
+    bil = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
+           + v10 * (1 - wx) * wy + v11 * wx * wy)
+    out = bil[..., :c].reshape(b, h, w, c)
+    valid = jnp.any(out > 0, axis=-1, keepdims=True)
+    if nearest_x is None:
+        return out, valid, None, None
+
+    # nearest: torch grid_sample 'nearest' = floor(coord + 0.5), which is
+    # always one of the four fetched corners — select, don't re-gather
+    right = (cx - x0f) >= 0.5   # floor(cx+0.5) == x0+1
+    down = (cy - y0f) >= 0.5
+    vtop = jnp.where(right[..., None], v01, v00)
+    vbot = jnp.where(right[..., None], v11, v10)
+    vn = jnp.where(down[..., None], vbot, vtop)
+    cn = nearest_x.shape[-1]
+    near = vn[..., c:].reshape(b, h, w, cn)
+    near_valid = jnp.any(near > 0, axis=-1, keepdims=True)
+    return out, valid, near, near_valid
+
+
 def _flow_target_coords(flow: Array):
     """Pixel coordinates displaced by flow: (B, N) x and y.
 
@@ -94,10 +151,7 @@ def remap_from_flow(x: Array, flow: Array):
     :return: (warped (B, H, W, C), valid (B, H, W, 1))
     (reference core/interpol/flow_utils.py:4-14; validity = any channel > 0)
     """
-    b, h, w, c = x.shape
-    cx, cy = _flow_target_coords(flow)
-    out = grid_sample(x, cx, cy, mode="bilinear").reshape(b, h, w, c)
-    valid = jnp.any(out > 0, axis=-1, keepdims=True)
+    out, valid, _, _ = warp_bilinear_nearest(x, None, flow)
     return out, valid
 
 

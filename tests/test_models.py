@@ -328,6 +328,27 @@ def test_onthefly_lookup_matches_oracle_interpret():
         np.testing.assert_allclose(a, b_, rtol=1e-4, atol=1e-4)
 
 
+def test_instance_norm_stats_kernel_and_torch_parity():
+    """Single-pass Pallas instance-norm stats (interpret mode) vs exact sums,
+    and the full norm vs torch InstanceNorm2d(affine=False)."""
+    import torch
+
+    from robust_pose_tpu.ops.pallas_instance_norm import (
+        instance_norm,
+        instance_norm_stats,
+    )
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 24, 20, 96)) * 2.0 + 1.0
+    s, ss = instance_norm_stats(x, interpret=True)
+    np.testing.assert_allclose(s, x.sum((1, 2)), rtol=1e-5)
+    np.testing.assert_allclose(ss, (x * x).sum((1, 2)), rtol=1e-5)
+
+    t = torch.nn.functional.instance_norm(
+        torch.tensor(np.asarray(x)).permute(0, 3, 1, 2))
+    y = instance_norm(x)
+    np.testing.assert_allclose(y, t.permute(0, 2, 3, 1).numpy(), atol=2e-5)
+
+
 def test_raft_lookup_impls_agree():
     """RAFT forward with lookup='lanewise' matches lookup='xla' (f32)."""
     img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3))

@@ -1,0 +1,75 @@
+"""Patch-gather warp (one lax.gather of the 2x2 bilinear patch per sample)
+vs the 4-corner grid_sample oracle — exact equivalence including borders,
+far out-of-bounds flows, and the fused nearest-mask path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from robust_pose_tpu.ops.warp import (
+    _flow_target_coords,
+    grid_sample,
+    remap_from_flow,
+    remap_from_flow_nearest,
+    warp_bilinear_nearest,
+)
+
+H, W, C = 24, 31, 5
+
+
+def _oracle_bilinear(x, flow):
+    b, h, w, c = x.shape
+    cx, cy = _flow_target_coords(flow)
+    out = grid_sample(x, cx, cy, mode="bilinear").reshape(b, h, w, c)
+    return out, jnp.any(out > 0, axis=-1, keepdims=True)
+
+
+def _oracle_nearest(x, flow):
+    b, h, w, c = x.shape
+    cx, cy = _flow_target_coords(flow)
+    out = grid_sample(x.astype(jnp.float32), cx, cy,
+                      mode="nearest").reshape(b, h, w, c)
+    return out, jnp.any(out > 0, axis=-1, keepdims=True)
+
+
+def _flows():
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    return [
+        2.5 * jax.random.normal(k[0], (2, H, W, 2)),            # small
+        60.0 * jax.random.normal(k[1], (2, H, W, 2)),           # mostly OOB
+        jnp.zeros((2, H, W, 2)),                                # identity
+        # exact-integer displacements incl. the +0.5 rounding boundary
+        jnp.round(8.0 * jax.random.normal(k[2], (2, H, W, 2))) + 0.5,
+    ]
+
+
+def test_remap_from_flow_matches_oracle():
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, H, W, C))
+    for flow in _flows():
+        ref, ref_valid = _oracle_bilinear(x, flow)
+        got, got_valid = remap_from_flow(x, flow)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got_valid, ref_valid)
+
+
+def test_remap_nearest_matches_oracle():
+    x = (jax.random.uniform(jax.random.PRNGKey(1), (2, H, W, 1)) > 0.4
+         ).astype(jnp.float32)
+    for flow in _flows():
+        ref, ref_valid = _oracle_nearest(x, flow)
+        got, got_valid = remap_from_flow_nearest(x, flow)
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_array_equal(got_valid, ref_valid)
+
+
+def test_fused_bilinear_nearest_matches_separate():
+    x = jax.random.uniform(jax.random.PRNGKey(2), (2, H, W, C))
+    m = (jax.random.uniform(jax.random.PRNGKey(4), (2, H, W, 1)) > 0.3
+         ).astype(jnp.float32)
+    for flow in _flows():
+        ref_b, ref_bv = _oracle_bilinear(x, flow)
+        ref_n, ref_nv = _oracle_nearest(m, flow)
+        got_b, got_bv, got_n, got_nv = warp_bilinear_nearest(x, m, flow)
+        np.testing.assert_allclose(got_b, ref_b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(got_bv, ref_bv)
+        np.testing.assert_array_equal(got_n, ref_n)
+        np.testing.assert_array_equal(got_nv, ref_nv)
