@@ -116,26 +116,33 @@ class PoseNet(nn.Module):
         """Warp frame-2 quantities into frame-1 correspondence and predict
         2D/3D confidence maps (reference pose_net.py:102-119).
 
-        All four warps (three bilinear payloads + the nearest mask) share a
-        SINGLE 2x2-patch gather (ops/warp.warp_bilinear_nearest) — the gather
-        fetch count, not bytes, dominates TPU warp cost."""
-        from robust_pose_tpu.ops.warp import warp_bilinear_nearest
-
-        packed = jnp.concatenate([pcl2, image2l, stereo_flow2], axis=-1)
-        packed_w, _, mask2f, valid_mapping = warp_bilinear_nearest(
-            packed, mask2.astype(jnp.float32), time_flow
+        TPU warp cost is gather-bytes-bound, so only what the solver consumes
+        at full resolution (pcl2 + the nearest-sampled mask, fused into ONE
+        quad-row gather) is warped densely; the image/stereo-flow channels
+        are consumed exclusively through the 1/8 bilinear downsample, whose
+        taps touch just rows/cols {8i+3, 8i+4} — their warp runs at 1/16 of
+        the samples (ops/warp.warp_then_eighth, exact)."""
+        from robust_pose_tpu.ops.warp import (
+            eighth_from_fullres_warp,
+            warp_bilinear_nearest,
+            warp_then_eighth,
         )
-        pcl2 = packed_w[..., :3]
-        image2l_w = packed_w[..., 3:6]
-        stereo_flow2_w = packed_w[..., 6:8]
+
+        pcl2_w, _, mask2f, valid_mapping = warp_bilinear_nearest(
+            pcl2, mask2.astype(jnp.float32), time_flow
+        )
+        pcl2 = pcl2_w
         mask2 = valid_mapping & (mask2f > 0)
 
         if self.config.get("use_weights", True):
             inp1 = _resize_eighth(
                 jnp.concatenate([stereo_flow1, image1l, pcl1], axis=-1)
             )
-            inp2 = _resize_eighth(
-                jnp.concatenate([stereo_flow2_w, image2l_w, pcl2], axis=-1)
+            five_c = warp_then_eighth(
+                jnp.concatenate([stereo_flow2, image2l], axis=-1), time_flow
+            )
+            inp2 = jnp.concatenate(
+                [five_c, eighth_from_fullres_warp(pcl2_w)], axis=-1
             )
             feat = jnp.concatenate([inp1, hidden, context], axis=-1)
             conf1 = nn.sigmoid(self.weight_head_2d(feat, train))

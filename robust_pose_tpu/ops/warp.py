@@ -94,6 +94,7 @@ def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
     cx, cy = _flow_target_coords(flow)
     packed = x if nearest_x is None else jnp.concatenate(
         [x, nearest_x.astype(x.dtype)], axis=-1)
+    cp = packed.shape[-1]
 
     x0f = jnp.floor(cx)
     y0f = jnp.floor(cy)
@@ -102,10 +103,23 @@ def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    v00 = _gather_pix(packed, x0, y0)
-    v01 = _gather_pix(packed, x0 + 1, y0)
-    v10 = _gather_pix(packed, x0, y0 + 1)
-    v11 = _gather_pix(packed, x0 + 1, y0 + 1)
+    # quad image: quad[y, x] stacks the 2x2 patch with top-left (y-1, x-1)
+    # of the zero-bordered image, so ALL FOUR corners arrive in a single
+    # contiguous row fetch — gather fetch count (not bytes) is what TPU
+    # warp cost scales with (4 corner gathers ~6.5 ms -> 1 quad gather)
+    P = jnp.pad(packed, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [P[:, :-1, :-1], P[:, :-1, 1:], P[:, 1:, :-1], P[:, 1:, 1:]], axis=-1)
+    xf = jnp.clip(x0 + 1, 0, w)
+    yf = jnp.clip(y0 + 1, 0, h)
+    rows = jnp.take_along_axis(
+        quad.reshape(b, (h + 1) * (w + 1), 4 * cp),
+        (yf * (w + 1) + xf)[..., None], axis=1)          # (B, N, 4cp)
+
+    v00 = rows[..., 0 * cp:1 * cp] * _inb(x0, y0, w, h)[..., None]
+    v01 = rows[..., 1 * cp:2 * cp] * _inb(x0 + 1, y0, w, h)[..., None]
+    v10 = rows[..., 2 * cp:3 * cp] * _inb(x0, y0 + 1, w, h)[..., None]
+    v11 = rows[..., 3 * cp:4 * cp] * _inb(x0 + 1, y0 + 1, w, h)[..., None]
 
     bil = (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy)
            + v10 * (1 - wx) * wy + v11 * wx * wy)
@@ -141,6 +155,41 @@ def _flow_target_coords(flow: Array):
     cx = (xg[None] + flow[..., 0]).reshape(b, -1)
     cy = (yg[None] + flow[..., 1]).reshape(b, -1)
     return cx, cy
+
+
+def warp_then_eighth(x: Array, flow: Array) -> Array:
+    """Exact fusion of ``remap_from_flow`` + bilinear 1/8 downsampling.
+
+    The half-pixel-centers 8x bilinear downsample (torch F.interpolate
+    scale 0.125, align_corners=False — reference pose_net.py:110-113) reads
+    the warped image ONLY at rows/cols {8i+3, 8i+4} with 0.5/0.5 weights, so
+    the warp is evaluated at those tap positions — 1/16 of the full-res
+    samples for channels that are consumed exclusively at 1/8 scale.
+
+    :param x: (B, H, W, C); H, W divisible by 8
+    :param flow: (B, H, W, 2) full-res flow
+    :return: (B, H/8, W/8, C) == resize_eighth(remap_from_flow(x, flow)[0])
+    """
+    b, h, w, c = x.shape
+    h8, w8 = h // 8, w // 8
+    ft = flow.reshape(b, h8, 8, w8, 8, 2)[:, :, 3:5, :, 3:5]  # (B,h8,2,w8,2,2)
+    rows = (8.0 * jnp.arange(h8, dtype=flow.dtype))[:, None] + jnp.asarray(
+        [3.0, 4.0], flow.dtype)                                # (h8, 2)
+    cols = (8.0 * jnp.arange(w8, dtype=flow.dtype))[:, None] + jnp.asarray(
+        [3.0, 4.0], flow.dtype)
+    cy = rows[None, :, :, None, None] + ft[..., 1]
+    cx = cols[None, None, None, :, :] + ft[..., 0]
+    out = grid_sample(x, cx.reshape(b, -1), cy.reshape(b, -1))
+    return out.reshape(b, h8, 2, w8, 2, c).mean(axis=(2, 4))
+
+
+def eighth_from_fullres_warp(x_w: Array) -> Array:
+    """Bilinear 1/8 downsample of an ALREADY-warped full-res image by its
+    exact tap decomposition (mean of rows/cols {8i+3, 8i+4})."""
+    b, h, w, c = x_w.shape
+    h8, w8 = h // 8, w // 8
+    cells = x_w.reshape(b, h8, 8, w8, 8, c)[:, :, 3:5, :, 3:5]
+    return cells.mean(axis=(2, 4))
 
 
 def remap_from_flow(x: Array, flow: Array):

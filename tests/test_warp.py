@@ -61,6 +61,25 @@ def test_remap_nearest_matches_oracle():
         np.testing.assert_array_equal(got_valid, ref_valid)
 
 
+def test_warp_then_eighth_matches_warp_plus_resize():
+    """Tap-decomposed warp+downsample vs dense warp followed by the 8x
+    bilinear resize (half-pixel centers): exact up to fp association."""
+    from robust_pose_tpu.ops.warp import (eighth_from_fullres_warp,
+                                          warp_then_eighth)
+
+    h, w, c = 48, 64, 5
+    x = jax.random.uniform(jax.random.PRNGKey(7), (2, h, w, c))
+    for flow in [3.0 * jax.random.normal(jax.random.PRNGKey(8), (2, h, w, 2)),
+                 40.0 * jax.random.normal(jax.random.PRNGKey(9), (2, h, w, 2))]:
+        dense, _ = remap_from_flow(x, flow)
+        ref = jax.image.resize(dense, (2, h // 8, w // 8, c), method="linear",
+                               antialias=False)
+        got = warp_then_eighth(x, flow)
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        got2 = eighth_from_fullres_warp(dense)
+        np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_fused_bilinear_nearest_matches_separate():
     x = jax.random.uniform(jax.random.PRNGKey(2), (2, H, W, C))
     m = (jax.random.uniform(jax.random.PRNGKey(4), (2, H, W, 1)) > 0.3
