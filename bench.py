@@ -42,20 +42,26 @@ def main():
 
     @jax.jit
     def window(variables, state, limgs, rimgs, masks):
-        """Track T frames sequentially in one dispatch (f2f chaining)."""
+        """Track T frames sequentially in one dispatch (f2f chaining; the
+        reference image's encoder features are carried, not recomputed)."""
         def body(st, fr):
-            img1, depth1, sflow1, last_pose = st
+            img1, depth1, sflow1, last_pose, feats = st
             limg, rimg, mask = fr
             out = model.apply(
                 variables, img1, limg, K, bl, depth1, rimg, mask, mask,
-                sflow1, method=PoseNet.infer,
+                sflow1, method=PoseNet.infer, feats=feats,
             )
             new_pose = jnp.where(
                 jnp.all(jnp.isfinite(out.pose)), out.pose, last_pose)
-            return (limg, out.depth2, out.stereo_flow2, new_pose), new_pose
+            return ((limg, out.depth2, out.stereo_flow2, new_pose, out.feats),
+                    new_pose)
 
         st, poses = jax.lax.scan(body, state, (limgs, rimgs, masks))
         return st, poses
+
+    @jax.jit
+    def encode_ref(variables, img):
+        return model.apply(variables, img, method=PoseNet.encode_ref)
 
     def make_window(i):
         # uint8 frames: what a real camera/decoder delivers — 4x fewer
@@ -67,10 +73,12 @@ def main():
             jnp.ones((T, 1, H, W, 1), bool),
         )
 
-    state0 = (jnp.zeros((1, H, W, 3), jnp.uint8),
+    img0 = jnp.zeros((1, H, W, 3), jnp.uint8)
+    state0 = (img0,
               jnp.full((1, H, W, 1), 0.5),
               jnp.full((1, H, W, 2), -16.0),
-              jnp.zeros((1, 7)).at[:, 6].set(1.0))
+              jnp.zeros((1, 7)).at[:, 6].set(1.0),
+              encode_ref(variables, img0))
     windows = [jax.block_until_ready(make_window(i))
                for i in range(N_WINDOWS + 2)]
 
@@ -80,7 +88,9 @@ def main():
     st, poses = window(variables, state0, *windows[-1])
     jax.block_until_ready(poses)
     st, poses = window(variables, st, *windows[-2])
-    jax.block_until_ready(poses)
+    # warm the readback path too — its (tiny) reduce would otherwise compile
+    # inside the timed region (~10 s via the remote compile helper)
+    _ = float(jnp.sum(poses))
 
     t0 = time.perf_counter()
     for i in range(N_WINDOWS):

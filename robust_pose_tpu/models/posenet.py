@@ -44,6 +44,9 @@ class PoseNetOutputs(NamedTuple):
     conf2: Array         # (B, H, W, 1) 3D confidence
     flow: Array          # (B, H, W, 2) temporal flow
     stereo_flow2: Array  # (B, H, W, 2)
+    feats: Any = None    # (fmap, net, inp) of image2l — feed as ``feats`` of
+    # the NEXT infer call (frame t's reference == frame t-1's image) to skip
+    # re-encoding the reference image in the streaming loop
 
 
 class PoseNet(nn.Module):
@@ -167,19 +170,45 @@ class PoseNet(nn.Module):
     # inference path (reference pose_net.py:60-85)
     # ------------------------------------------------------------------
 
+    def encode_ref(self, image):
+        """Encode a reference image's (fmap, net, inp) — the ``feats`` cache
+        seed for the first streaming step."""
+        fmap = self.flow_net.encode_fnet(image)
+        net, inp = self.flow_net.encode_cnet(image)
+        return fmap, net, inp
+
     def infer(self, image1l, image2l, intrinsics, baseline, depth1, image2r,
-              mask1, mask2, stereo_flow1) -> PoseNetOutputs:
+              mask1, mask2, stereo_flow1, feats=None) -> PoseNetOutputs:
         """Single fused step: temporal + stereo flow batched through one RAFT
-        pass (reference pose_net.py:62-69), depth, weight maps, GN solve."""
+        pass (reference pose_net.py:62-69), depth, weight maps, GN solve.
+
+        The pairs (img1,img2),(img2,img2r) share img2, so the encoders run
+        only on UNIQUE images; with ``feats`` (the previous step's cached
+        ``out.feats`` — frame t's reference IS frame t-1's image) img1 is
+        not re-encoded at all: fnet batch 2, cnet batch 1 per frame."""
         b = image1l.shape[0]
-        # batched temporal+stereo flow in one RAFT pass (reference
-        # pose_net.py:62-69); pairs (img1,img2),(img2,img2r) share img2, so
-        # the encoders run on the 3 UNIQUE images via RAFT's dedup path
-        uimgs = jnp.concatenate([image1l, image2l, image2r], axis=0)
-        idx1 = tuple(range(b)) + tuple(range(b, 2 * b))
-        idx2 = tuple(range(b, 2 * b)) + tuple(range(2 * b, 3 * b))
-        flows, hidden, context = self.flow_net(
-            None, None, unique=(uimgs, idx1, idx2))
+        if feats is None:
+            enc = self.flow_net.encode_fnet(
+                jnp.concatenate([image1l, image2l, image2r], axis=0))
+            f1l, f2l, f2r = enc[:b], enc[b:2 * b], enc[2 * b:]
+            net_u, inp_u = self.flow_net.encode_cnet(
+                jnp.concatenate([image1l, image2l], axis=0))
+            net1l, net2l = net_u[:b], net_u[b:]
+            inp1l, inp2l = inp_u[:b], inp_u[b:]
+        else:
+            f1l, net1l, inp1l = feats
+            enc = self.flow_net.encode_fnet(
+                jnp.concatenate([image2l, image2r], axis=0))
+            f2l, f2r = enc[:b], enc[b:]
+            net2l, inp2l = self.flow_net.encode_cnet(image2l)
+
+        flows, hidden, context = self.flow_net.flow_from_features(
+            jnp.concatenate([f1l, f2l], axis=0),
+            jnp.concatenate([f2l, f2r], axis=0),
+            jnp.concatenate([net1l, net2l], axis=0),
+            jnp.concatenate([inp1l, inp2l], axis=0),
+        )
+        feats_out = (f2l, net2l, inp2l)
         time_flow, stereo_flow2 = flows[:b], flows[b:]
         hidden, context = hidden[:b], context[:b]
 
@@ -196,7 +225,7 @@ class PoseNet(nn.Module):
             time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics
         )
         return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
-                              time_flow, stereo_flow2)
+                              time_flow, stereo_flow2, feats_out)
 
     # ------------------------------------------------------------------
     # training path (reference pose_net.py:29-58)
@@ -210,12 +239,19 @@ class PoseNet(nn.Module):
         # (generalizes the reference's inference-time batching trick to
         # train); of the 6 pair slots only 4 images are unique — the encoders
         # run deduplicated (pairs: (1l,1r), (2l,2r), (1l,2l))
-        uimgs = jnp.concatenate([image1l, image2l, image1r, image2r], axis=0)
-        r = lambda k: tuple(range(k * b, (k + 1) * b))
-        idx1 = r(0) + r(1) + r(0)
-        idx2 = r(2) + r(3) + r(1)
-        flows, hidden, context = self.flow_net(
-            None, None, train, unique=(uimgs, idx1, idx2))
+        enc = self.flow_net.encode_fnet(
+            jnp.concatenate([image1l, image2l, image1r, image2r], axis=0),
+            train)
+        e1l, e2l = enc[:b], enc[b:2 * b]
+        e1r, e2r = enc[2 * b:3 * b], enc[3 * b:]
+        net_u, inp_u = self.flow_net.encode_cnet(
+            jnp.concatenate([image1l, image2l], axis=0), train)
+        flows, hidden, context = self.flow_net.flow_from_features(
+            jnp.concatenate([e1l, e2l, e1l], axis=0),
+            jnp.concatenate([e1r, e2r, e2l], axis=0),
+            jnp.concatenate([net_u[:b], net_u[b:], net_u[:b]], axis=0),
+            jnp.concatenate([inp_u[:b], inp_u[b:], inp_u[:b]], axis=0),
+        )
         stereo_flow1, stereo_flow2, time_flow = flows[:b], flows[b:2 * b], flows[2 * b:]
         hidden, context = hidden[2 * b:], context[2 * b:]
 

@@ -575,56 +575,47 @@ class RAFT(nn.Module):
             return "xla" if jax.default_backend() == "cpu" else "onthefly"
         return self.lookup
 
-    @nn.compact
-    def __call__(self, image1: Array, image2: Array, train: bool = False,
-                 unique=None):
-        """``unique=(images (Bu,H,W,3), idx1, idx2)`` is the deduplicated
-        batching path: PoseNet's batched flow passes repeat images across
-        pair slots (inference pairs (img1,img2),(img2,img2r) share img2;
-        training shares two of six slots), so the encoders run once per
-        UNIQUE image and features are gathered per static index tuple —
-        exactly equivalent, ~25-33% less encoder work."""
-        if unique is not None:
-            uimgs, idx1, idx2 = unique
-            b = len(idx1)
-            _, h, w, _ = uimgs.shape
-        else:
-            b, h, w, _ = image1.shape
-        h8, w8 = h // 8, w // 8
+    def setup(self):
         hdim = 96 if self.small else HDIM
         cdim = 64 if self.small else CDIM
-
         enc_cls = SmallEncoder if self.small else BasicEncoder
-        fnet = enc_cls(output_dim=128 if self.small else 256, norm="instance",
-                       dtype=self.dtype, dropout=self.dropout, name="fnet")
-        cnet = enc_cls(output_dim=hdim + cdim,
-                       norm="none" if self.small else "batch",
-                       dtype=self.dtype, dropout=self.dropout, name="cnet")
+        self.fnet = enc_cls(output_dim=128 if self.small else 256,
+                            norm="instance", dtype=self.dtype,
+                            dropout=self.dropout)
+        self.cnet = enc_cls(output_dim=hdim + cdim,
+                            norm="none" if self.small else "batch",
+                            dtype=self.dtype, dropout=self.dropout)
+        self.update = nn.scan(
+            _UpdateStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            length=self.iters,
+        )(dtype=self.dtype, small=self.small, lookup=self._resolve_lookup())
 
-        def gather(x, ids):
-            return jnp.concatenate([x[i:i + 1] for i in ids], axis=0)
+    # ------------------------------------------------------------------
+    # public sub-stages: feature encoding is exposed separately so callers
+    # can CACHE per-image features across the streaming loop (frame t's
+    # reference image IS frame t-1's current image — PoseNet reuses its
+    # encodings instead of recomputing, ~1/3 of the encoder work)
+    # ------------------------------------------------------------------
 
-        if unique is not None:
-            uimgs = 2.0 * (uimgs / 255.0) - 1.0
-            fmaps = fnet(uimgs, train)
-            fmap1 = gather(fmaps, idx1)
-            fmap2 = gather(fmaps, idx2)
-            # context net runs on the unique reference images only
-            ref_ids = sorted(set(idx1))
-            remap = {u: j for j, u in enumerate(ref_ids)}
-            c_u = cnet(gather(uimgs, ref_ids), train)
-            c = gather(c_u, [remap[i] for i in idx1])
-        else:
-            image1 = 2.0 * (image1 / 255.0) - 1.0
-            image2 = 2.0 * (image2 / 255.0) - 1.0
-            # batching the two frames through the shared feature encoder
-            # mirrors the reference (RAFT fnet([image1, image2]))
-            fmaps = fnet(jnp.concatenate([image1, image2], axis=0), train)
-            fmap1, fmap2 = fmaps[:b], fmaps[b:]
-            c = cnet(image1, train)
-        net = nn.tanh(c[..., :hdim])
-        inp = nn.relu(c[..., hdim:])
+    def encode_fnet(self, images: Array, train: bool = False) -> Array:
+        """Feature encoder on raw [0, 255] images -> (B, H/8, W/8, 256)."""
+        return self.fnet(2.0 * (images / 255.0) - 1.0, train)
 
+    def encode_cnet(self, images: Array, train: bool = False):
+        """Context encoder -> (net (tanh), inp (relu)) GRU init/context."""
+        hdim = 96 if self.small else HDIM
+        c = self.cnet(2.0 * (images / 255.0) - 1.0, train)
+        return nn.tanh(c[..., :hdim]), nn.relu(c[..., hdim:])
+
+    def flow_from_features(self, fmap1: Array, fmap2: Array, net: Array,
+                           inp: Array):
+        """Correlation pyramid + recurrent refinement from precomputed
+        features; returns (flow_up, final_hidden, context) per pair."""
+        b, h8, w8, _ = fmap1.shape
+        h, w = 8 * h8, 8 * w8
         lookup = self._resolve_lookup()
         if lookup == "onthefly":
             from robust_pose_tpu.ops.pallas_corr_onthefly import (
@@ -651,10 +642,11 @@ class RAFT(nn.Module):
         xs = jnp.arange(w8, dtype=jnp.float32)
         ys = jnp.arange(h8, dtype=jnp.float32)
         xg, yg = jnp.meshgrid(xs, ys, indexing="xy")
-        coords0 = jnp.broadcast_to(jnp.stack([xg, yg], axis=-1)[None], (b, h8, w8, 2))
+        coords0 = jnp.broadcast_to(
+            jnp.stack([xg, yg], axis=-1)[None], (b, h8, w8, 2))
 
         carry0 = {
-            "net": net,
+            "net": net.astype(self.dtype),
             "coords1": coords0,
             "up_mask": jnp.zeros((b, h8, w8, 64 * 9), dtype=jnp.float32),
         }
@@ -662,16 +654,7 @@ class RAFT(nn.Module):
         # recurrent update iterations as one compiled scan (hot loop A,
         # SURVEY.md §3.1); params and loop invariants broadcast across
         # iterations (NOT carried)
-        scan = nn.scan(
-            _UpdateStep,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
-            length=self.iters,
-        )
-        carry, _ = scan(dtype=self.dtype, small=self.small,
-                        lookup=lookup, name="update")(
-            carry0, pyramid, inp, coords0)
+        carry, _ = self.update(carry0, pyramid, inp, coords0)
 
         flow8 = carry["coords1"] - coords0
         if self.small:
@@ -680,4 +663,14 @@ class RAFT(nn.Module):
                 flow8, (b, h, w, 2), method="linear", antialias=False)
         else:
             flow_up = upsample_flow_convex(flow8, carry["up_mask"])
-        return flow_up, carry["net"].astype(jnp.float32), inp.astype(jnp.float32)
+        return (flow_up, carry["net"].astype(jnp.float32),
+                inp.astype(jnp.float32))
+
+    def __call__(self, image1: Array, image2: Array, train: bool = False):
+        b = image1.shape[0]
+        # batching the two frames through the shared feature encoder mirrors
+        # the reference (RAFT fnet([image1, image2]))
+        fmaps = self.encode_fnet(jnp.concatenate([image1, image2], axis=0),
+                                 train)
+        net, inp = self.encode_cnet(image1, train)
+        return self.flow_from_features(fmaps[:b], fmaps[b:], net, inp)

@@ -68,6 +68,7 @@ class PoseEstimator:
         self.last_frame: Optional[Frame] = None
         self.frame: Optional[Frame] = None
         self.scene = None
+        self._feats = None  # reference-image encoder cache (f2f streaming)
 
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
@@ -78,24 +79,28 @@ class PoseEstimator:
     # ------------------------------------------------------------------
 
     def _first_step(self, variables, limg, rimg, mask):
-        """First frame: stereo depth only, identity pose
-        (reference pose_estimator.py:103-110)."""
+        """First frame: stereo depth + the reference-feature cache for the
+        next tracking step (reference pose_estimator.py:103-110)."""
         depth, valid, stereo_flow = self.model.apply(
             variables, limg, rimg, self.baseline * self.scale,
             method=PoseNet.flow2depth,
         )
+        feats = self.model.apply(variables, limg, method=PoseNet.encode_ref)
         frame = make_frame(limg, rimg, depth=depth / self.scale, mask=mask,
                            flow=stereo_flow)
-        return frame, valid
+        return frame, valid, feats
 
-    def _track_step(self, variables, last_pose, last: Frame, limg, rimg, mask):
+    def _track_step(self, variables, last_pose, last: Frame, limg, rimg, mask,
+                    feats=None):
         """One tracking step; everything on device (reference
-        pose_estimator.py:50-96 + pose_net.py:60-85 fused)."""
+        pose_estimator.py:50-96 + pose_net.py:60-85 fused). ``feats`` is the
+        reference image's cached encoder features (f2f streaming only — the
+        f2m reference is a fresh surfel rendering every frame)."""
         out = self.model.apply(
             variables,
             last.img, limg, self.intrinsics, self.baseline * self.scale,
             last.depth * self.scale, rimg, last.mask, mask, last.flow,
-            method=PoseNet.infer,
+            method=PoseNet.infer, feats=feats,
         )
         rel = out.pose  # (1, 7)
         # failure detection (reference pose_estimator.py:81-87)
@@ -180,7 +185,8 @@ class PoseEstimator:
             mask = mask.transpose(0, 2, 3, 1)
 
         if self.last_frame is None and self.frame is None:
-            self.frame, valid = self._jit_first(self.variables, limg, rimg, mask)
+            self.frame, valid, self._feats = self._jit_first(
+                self.variables, limg, rimg, mask)
             self.last_frame = None
             self.success = True
             if not self.frame2frame:
@@ -192,8 +198,10 @@ class PoseEstimator:
         self.last_frame = self.frame
         if self.frame2frame:
             new_pose, frame, out, success = self._jit_step(
-                self.variables, self.last_pose, self.frame, limg, rimg, mask
+                self.variables, self.last_pose, self.frame, limg, rimg, mask,
+                self._feats,
             )
+            self._feats = out.feats
             if self.scene is not None and bool(success):
                 self.scene.fuse(frame, new_pose[0])
         else:
