@@ -78,3 +78,36 @@ def iterate_dataset(dataset, sampler: SequentialSubSampler = None):
     else:
         for item in dataset:
             yield item
+
+
+def prefetch_iterator(iterable, depth: int = 2):
+    """Background-thread prefetch: decode/rectify the next ``depth`` items
+    while the device computes the current step (the host/device pipelining
+    the reference gets from its DataLoader worker process —
+    scripts/infer_trajectory.py:53-57; cv2 releases the GIL during decode).
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=depth)
+    sentinel = object()
+    err = []
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        except BaseException as e:  # surface decode errors on the consumer
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item

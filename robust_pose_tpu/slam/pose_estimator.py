@@ -73,6 +73,7 @@ class PoseEstimator:
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
         self._jit_step_f2m = None  # built lazily (needs the surfel config)
+        self._jit_window = None    # built lazily (windowed f2f streaming)
 
     # ------------------------------------------------------------------
     # jitted step functions
@@ -147,6 +148,53 @@ class PoseEstimator:
             return new_pose, frame, out, success, new_state, model_frame
 
         return jax.jit(step)
+
+    def _window_step(self, variables, last_pose, frame, feats, limgs, rimgs,
+                     masks):
+        """Track T frames sequentially in ONE compiled dispatch (f2f): the
+        frame state, reference-feature cache and pose chain are scan
+        carries — steady-state device throughput with no per-frame host
+        round-trips (the streaming design bench.py measures)."""
+        def body(carry, fr):
+            pose, fr_state, fts = carry
+            limg, rimg, mask = fr
+            new_pose, new_frame, out, success = self._track_step(
+                variables, pose, fr_state, limg, rimg, mask, fts)
+            return (new_pose, new_frame, out.feats), (new_pose, success)
+
+        (pose, fr_state, fts), (poses, succ) = jax.lax.scan(
+            body, (last_pose, frame, feats), (limgs, rimgs, masks))
+        return pose, fr_state, fts, poses, succ
+
+    def track_window(self, limgs, rimgs, masks):
+        """Track a window of frames in one dispatch (f2f streaming mode).
+
+        :param limgs/rimgs: (T, 1, 3, H, W) or (T, 1, H, W, 3) stereo frames
+        :param masks: (T, 1, 1, H, W) or (T, 1, H, W, 1)
+        :return: (poses (T, 1, 7) absolute SE(3) vecs, successes (T,) bool)
+        Requires the first frame to have been processed via ``__call__``;
+        per-frame diagnostics (flow/confidence maps for viewers) are not
+        materialized — use the per-frame API for those. f2f only (the f2m
+        reference is a fresh surfel rendering per frame).
+        """
+        assert self.frame2frame, "track_window is frame-to-frame only"
+        assert self.frame is not None, "process the first frame via __call__"
+        limgs = jnp.asarray(limgs, jnp.float32)
+        rimgs = jnp.asarray(rimgs, jnp.float32)
+        masks = jnp.asarray(masks, bool)
+        if limgs.shape[-1] not in (1, 3):  # NCHW -> NHWC
+            limgs = limgs.transpose(0, 1, 3, 4, 2)
+            rimgs = rimgs.transpose(0, 1, 3, 4, 2)
+        if masks.shape[-1] != 1:
+            masks = masks.transpose(0, 1, 3, 4, 2)
+        if self._jit_window is None:
+            self._jit_window = jax.jit(self._window_step)
+        (self.last_pose, self.frame, self._feats, poses,
+         succ) = self._jit_window(self.variables, self.last_pose, self.frame,
+                                  self._feats, limgs, rimgs, masks)
+        self.last_frame = self.frame
+        self.success = succ[-1]
+        return poses, succ
 
     # ------------------------------------------------------------------
     # host API

@@ -25,6 +25,7 @@ def main(args, config):
         StereoVideoDataset,
         get_data,
         iterate_dataset,
+        prefetch_iterator,
     )
     from robust_pose_tpu.slam.pose_estimator import PoseEstimator
     from robust_pose_tpu.slam.surfel_map import SurfelMap
@@ -85,20 +86,49 @@ def main(args, config):
     from robust_pose_tpu.utils.profiling import StageTimer
     timer = StageTimer()
 
+    window = max(1, getattr(args, "window", 1))
+    if window > 1 and (args.viewer != "none" or args.log is not None
+                       or not config["slam"].get("frame2frame", True)):
+        warnings.warn("--window streaming needs f2f mode without viewers/"
+                      "logging (per-frame diagnostics are not materialized);"
+                      " falling back to per-frame tracking.")
+        window = 1
+
     trajectory = [{"camera-pose": np.asarray(pose_estimator.last_pose[0]),
                    "timestamp": args.start}]
     scene = None
-    for i, data in enumerate(iterate_dataset(dataset, sampler)):
+    buf = []  # (limg, rimg, mask, img_number) awaiting a windowed dispatch
+
+    def flush_window():
+        limgs = np.stack([b[0] for b in buf])
+        rimgs = np.stack([b[1] for b in buf])
+        masks = np.stack([b[2] for b in buf])
+        with timer.stage("track"):
+            poses, succ = pose_estimator.track_window(limgs, rimgs, masks)
+        with timer.stage("readback"):
+            poses_np = np.asarray(poses)
+        for (_, _, _, num), p in zip(buf, poses_np):
+            trajectory.append({"camera-pose": p[0], "timestamp": num})
+        buf.clear()
+
+    # decode/rectify the next frames on a background thread while the
+    # device runs the current step (SURVEY §7: host/device pipelining)
+    for i, data in enumerate(prefetch_iterator(
+            iterate_dataset(dataset, sampler), depth=2 * window)):
         if isinstance(dataset, StereoVideoDataset):
             limg, rimg, mask, pose_kinematics, img_number = data
         else:
             limg, rimg, mask, img_number = data
+        limg = limg[None] if limg.ndim == 3 else limg
+        rimg = rimg[None] if rimg.ndim == 3 else rimg
+        mask = mask[None] if mask.ndim == 3 else mask
+        if window > 1 and i > 0:
+            buf.append((limg, rimg, mask, img_number))
+            if len(buf) == window:
+                flush_window()
+            continue
         with timer.stage("track"):
-            pose, scene, flow, weights = pose_estimator(
-                limg[None] if limg.ndim == 3 else limg,
-                rimg[None] if rimg.ndim == 3 else rimg,
-                mask[None] if mask.ndim == 3 else mask,
-            )
+            pose, scene, flow, weights = pose_estimator(limg, rimg, mask)
         with timer.stage("readback"):
             pose_np = np.asarray(pose[0])
         trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
@@ -117,6 +147,8 @@ def main(args, config):
         if args.log is not None and i > 0:
             recorder(scene, pose_np, step=int(img_number))
 
+    if buf:
+        flush_window()  # partial tail window
     if getattr(args, "profile", False):
         print("per-frame stages:", timer.report())
     save_trajectory(trajectory, args.outpath)
@@ -161,6 +193,10 @@ if __name__ == "__main__":
     parser.add_argument("--block_viewer", action="store_true")
     parser.add_argument("--profile", action="store_true",
                         help="print per-frame stage timing")
+    parser.add_argument("--window", type=int, default=1,
+                        help="track N frames per compiled dispatch (f2f "
+                        "streaming mode; amortizes dispatch overhead — use "
+                        "8 for real-time throughput on TPU)")
     args = parser.parse_args()
 
     if args.device == "cpu":

@@ -79,6 +79,37 @@ def test_f2m_tracking_loop(checkpoint):
     assert np.all(np.isfinite(np.asarray(mf.depth)))
 
 
+def test_track_window_matches_per_frame(checkpoint):
+    """Windowed streaming mode (one compiled dispatch per N frames) must
+    produce the same pose chain as per-frame tracking."""
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    mask = np.ones((1, 1, H, W), bool)
+    frames = _frames(5)
+
+    est_a = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    poses_ref = []
+    for limg, rimg in frames:
+        pose, *_ = est_a(limg, rimg, mask)
+        poses_ref.append(np.asarray(pose[0]))
+
+    est_b = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    est_b(*frames[0], mask)  # first frame seeds the state per-frame
+    limgs = np.stack([f[0] for f in frames[1:]])
+    rimgs = np.stack([f[1] for f in frames[1:]])
+    masks = np.stack([mask] * 4)
+    poses_w, succ = est_b.track_window(limgs, rimgs, masks)
+    poses_w = np.asarray(poses_w)
+
+    for i in range(4):
+        np.testing.assert_allclose(poses_w[i, 0], poses_ref[i + 1],
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(est_b.last_pose[0]), poses_ref[-1],
+                               rtol=1e-4, atol=1e-5)
+    assert np.asarray(succ).shape == (4,)
+
+
 def test_init_pose_offset(checkpoint):
     K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
     init = np.array([5.0, -3.0, 2.0, 0, 0, 0, 1.0], np.float32)
