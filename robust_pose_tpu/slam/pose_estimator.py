@@ -124,14 +124,18 @@ class PoseEstimator:
         from robust_pose_tpu.slam.surfel_map import (
             surfel_fuse,
             surfel_render,
-            surfel_transform,
         )
 
         kmat = self.intrinsics[0]
 
         def step(variables, last_pose, state, prev_rimg, limg, rimg, mask):
-            scene_t = surfel_transform(state, se3.inv(last_pose[0]))
-            model_frame = surfel_render(scene_t, kmat, cfg)
+            # transform+render folded: rendering with extrinsics
+            # T = pmat o last_pose^-1 equals transforming every surfel by
+            # last_pose^-1 first (reference transform_cpy + render,
+            # pose_estimator.py:127-133) without rewriting the whole pool
+            model_frame = surfel_render(
+                state, kmat, cfg,
+                extrinsics=se3.mul(state.pmat, se3.inv(last_pose[0])))
             reference_frame = model_frame.replace(
                 rimg=prev_rimg,
                 flow=jnp.zeros_like(model_frame.flow),
@@ -208,8 +212,12 @@ class PoseEstimator:
         self.scene = SurfelMap(
             frame, jnp.asarray(self.intrinsics[0]),
             config={"dist_thr": self.config.get("dist_thr", 0.05),
-                    "average_pts": self.config.get("average_pts", True)},
+                    "average_pts": self.config.get("average_pts", True),
+                    "upscale": self.config.get("upscale", 1)},
             pmat=self.last_pose[0],
+            # slot-pool bound: every fuse/render pass scales with capacity,
+            # not the live surfel count — tune per sequence length
+            capacity=self.config.get("map_capacity"),
         )
 
     def __call__(self, limg, rimg, mask):

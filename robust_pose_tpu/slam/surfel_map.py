@@ -150,18 +150,28 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     qy = jnp.round(ipts[:, 1] - 0.5).astype(jnp.int32)
     midx = jnp.clip(qy * wf + qx, 0, nf - 1)
 
+    # ONE packed gather of the per-surfel frame correspondence rows
+    # (opts 3 + rgb 3 + mask 1 — gather passes over the pool dominate)
+    frame_rows = jnp.concatenate(
+        [opts_fine, rgb_fine,
+         fmask_fine[:, None].astype(opts_fine.dtype)], axis=-1)  # (NF, 7)
+    corr = frame_rows[midx]                                      # (CAP, 7)
+    opts_corr = corr[:, :3]
+    rgb_corr = corr[:, 3:6]
+    fmask_corr = corr[:, 6] > 0
+
     # depth-outlier rejection in world z (filter_surfels_by_correspondence,
     # surfel_map.py:181-203 — the reference compares world-frame z values)
-    depth_ok = jnp.abs(opts_fine[midx, 2] - state.opts[:, 2]) < cfg.d_thresh
-    matched = bidx & depth_ok & fmask_fine[midx]
+    depth_ok = jnp.abs(opts_corr[:, 2] - state.opts[:, 2]) < cfg.d_thresh
+    matched = bidx & depth_ok & fmask_corr
 
     # confidence-weighted running average (surfel_map.py:117-125)
     ccor = jnp.full((cap,), 1.0 / cfg.conf_thr, state.conf.dtype)
     cold = state.conf
     denom = jnp.maximum(cold + ccor, 1e-12)
     if cfg.average_pts:
-        opts_upd = (cold[:, None] * state.opts + ccor[:, None] * opts_fine[midx]) / denom[:, None]
-        rgb_upd = (cold[:, None] * state.rgb + ccor[:, None] * rgb_fine[midx]) / denom[:, None]
+        opts_upd = (cold[:, None] * state.opts + ccor[:, None] * opts_corr) / denom[:, None]
+        rgb_upd = (cold[:, None] * state.rgb + ccor[:, None] * rgb_corr) / denom[:, None]
         opts = jnp.where(matched[:, None], opts_upd, state.opts)
         rgb = jnp.where(matched[:, None], rgb_upd, state.rgb)
     else:
@@ -185,15 +195,20 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     age = tick - state.t_created
     keep = state.active & ((conf >= 1.0) | (age < cfg.t_max))
 
-    # append new points into free slots: stable argsort ranks free slots
-    # first; new point k claims the k-th free slot
+    # append new points into free slots: the k-th free slot is found with a
+    # cumsum + one scatter (free slot i has free-rank cumsum(free)[i]-1;
+    # scatter i into rank_to_slot[rank]) — replaces a full-pool stable
+    # argsort, which costs multiple sort passes over CAP elements on TPU
     free = ~keep
-    free_slots = jnp.argsort(~free, stable=True)  # free slot indices first
-    n_free = jnp.sum(free)
+    free_rank = jnp.cumsum(free) - 1               # rank of each free slot
+    n_free = free_rank[-1] + 1
+    rank_to_slot = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(free, free_rank, cap)].set(
+            jnp.arange(cap, dtype=jnp.int32), mode="drop")
     rank = jnp.cumsum(new_mask) - 1                # rank among new points
     can_place = new_mask & (rank < n_free)
     # target slot per new point (clamped gather; masked scatter below)
-    slot = free_slots[jnp.clip(rank, 0, cap - 1)]
+    slot = rank_to_slot[jnp.clip(rank, 0, cap - 1)]
     slot = jnp.where(can_place, slot, cap)         # cap = out of range -> drop
 
     opts = opts.at[slot].set(opts_new, mode="drop")
@@ -241,6 +256,8 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
     winner = is_max & (slot_ids == slot_img[pixc])
 
     wpix = jnp.where(winner, pix, n)
+    # separate scatters per quantity: packing into (CAP, 5) rows measures 2x
+    # SLOWER — the degenerate 5-wide minor dim lane-pads on TPU
     conf_img = jnp.zeros((n,)).at[wpix].set(state.conf, mode="drop")
     # camera-frame depth for the rendered frame
     zcam = se3.act(T[None], state.opts)[:, 2]
