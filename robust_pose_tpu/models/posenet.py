@@ -66,6 +66,7 @@ class PoseNet(nn.Module):
             small=self.config.get("small", False),
             dropout=self.config.get("dropout", 0.0),
             lookup=self.config.get("lookup", "auto"),
+            remat=self.config.get("remat", False),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)

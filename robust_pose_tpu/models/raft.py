@@ -558,6 +558,7 @@ class RAFT(nn.Module):
     dtype: Any = jnp.bfloat16  # compute dtype of convs (params stay f32)
     small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
     dropout: float = 0.0  # encoder Dropout2d rate (upstream RAFT; train only)
+    remat: bool = False  # rematerialize GRU iterations in backward (training)
     lookup: str = "auto"  # correlation lookup implementation:
     # "auto" — "onthefly" on TPU, "xla" on CPU (avoids interpret-mode Pallas
     #   in CPU CI; kernel correctness is covered by dedicated interpret tests)
@@ -579,14 +580,24 @@ class RAFT(nn.Module):
         hdim = 96 if self.small else HDIM
         cdim = 64 if self.small else CDIM
         enc_cls = SmallEncoder if self.small else BasicEncoder
+        if self.remat:
+            # training: recompute encoder activations in backward too (their
+            # stored intermediates are ~250 MB each at batch 8 512x640)
+            enc_cls = nn.remat(enc_cls, prevent_cse=False,
+                               static_argnums=(2,))
         self.fnet = enc_cls(output_dim=128 if self.small else 256,
                             norm="instance", dtype=self.dtype,
                             dropout=self.dropout)
         self.cnet = enc_cls(output_dim=hdim + cdim,
                             norm="none" if self.small else "batch",
                             dtype=self.dtype, dropout=self.dropout)
+        # remat: recompute each GRU iteration's activations in the backward
+        # pass instead of storing all `iters` of them (training at batch 8
+        # 512x640 otherwise needs ~2x the chip's HBM); no effect on inference
+        step_cls = (nn.remat(_UpdateStep, prevent_cse=False) if self.remat
+                    else _UpdateStep)
         self.update = nn.scan(
-            _UpdateStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),

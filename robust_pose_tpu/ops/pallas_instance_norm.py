@@ -39,13 +39,36 @@ def _stats_kernel(x_ref, out_ref, *, c: int):
     out_ref[0, :2] = out_ref[0, :2] + upd
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def instance_norm_stats(x: Array, interpret: bool = False):
     """Per-(sample, channel) spatial sum and sum-of-squares, f32.
+
+    Differentiable (custom VJP — the kernel itself has no autodiff rule):
+    d(sum)/dx = 1, d(sumsq)/dx = 2x, so the backward is one fused
+    elementwise XLA expression.
 
     :param x: (B, H, W, C) with C <= 128
     :return: (sum (B, C), sumsq (B, C))
     """
+    return _stats_impl(x, interpret)
+
+
+def _stats_fwd(x, interpret):
+    return _stats_impl(x, interpret), x
+
+
+def _stats_bwd(interpret, x, cts):
+    gs, gss = cts
+    dx = (gs[:, None, None, :]
+          + 2.0 * x.astype(jnp.float32) * gss[:, None, None, :])
+    return (dx.astype(x.dtype),)
+
+
+instance_norm_stats.defvjp(_stats_fwd, _stats_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _stats_impl(x: Array, interpret: bool = False):
     b, h, w, c = x.shape
     assert c <= 128, c
     hc = h

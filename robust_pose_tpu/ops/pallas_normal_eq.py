@@ -62,14 +62,16 @@ def _normal_eq_kernel(pose_ref, kmat_ref, lw_ref, planes_ref, out_ref, *,
                       h: int, w: int, n_pix: int):
     """One (batch, pixel-block) program.
 
-    pose_ref: (1, 8) f32 SMEM — [tx ty tz qx qy qz qw, pad]
-    kmat_ref: (1, 4) f32 SMEM — [fx fy cx cy]
-    lw_ref:   (1, 2) f32 SMEM — loss_weight [w3d, w2d]
+    pose_ref: (B, 8) f32 SMEM — [tx ty tz qx qy qz qw, pad] (full array;
+        TPU SMEM blocks can't tile the batch dim, rows indexed by program id)
+    kmat_ref: (B, 4) f32 SMEM — [fx fy cx cy]
+    lw_ref:   (B, 2) f32 SMEM — loss_weight [w3d, w2d]
     planes_ref: (1, 12, S, LANES) f32 — channel-major pixel planes:
         0-2 pcl1 xyz, 3-5 pcl2 xyz, 6-7 flow xy, 8 w1*mask1, 9 w2*mask13
         (w2 pre-multiplied with mask1&mask2), 10 mask1 (1.0/0.0), 11 unused
     out_ref: (1, 1, 64) f32 — accumulated [H(21 upper-tri), g(6), cost, pad]
     """
+    bi = pl.program_id(0)
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -77,11 +79,11 @@ def _normal_eq_kernel(pose_ref, kmat_ref, lw_ref, planes_ref, out_ref, *,
         out_ref[0, 0] = jnp.zeros((64,), jnp.float32)
 
     s = planes_ref.shape[2]
-    tx_, ty_, tz_ = pose_ref[0, 0], pose_ref[0, 1], pose_ref[0, 2]
-    q = (pose_ref[0, 3], pose_ref[0, 4], pose_ref[0, 5], pose_ref[0, 6])
-    fx, fy = kmat_ref[0, 0], kmat_ref[0, 1]
-    cx, cy = kmat_ref[0, 2], kmat_ref[0, 3]
-    lw3, lw2 = lw_ref[0, 0], lw_ref[0, 1]
+    tx_, ty_, tz_ = pose_ref[bi, 0], pose_ref[bi, 1], pose_ref[bi, 2]
+    q = (pose_ref[bi, 3], pose_ref[bi, 4], pose_ref[bi, 5], pose_ref[bi, 6])
+    fx, fy = kmat_ref[bi, 0], kmat_ref[bi, 1]
+    cx, cy = kmat_ref[bi, 2], kmat_ref[bi, 3]
+    lw3, lw2 = lw_ref[bi, 0], lw_ref[bi, 1]
 
     p1x = planes_ref[0, 0]
     p1y = planes_ref[0, 1]
@@ -232,11 +234,14 @@ def normal_equations_pallas(pose: Array, planes: Array, kvec: Array,
         functools.partial(_normal_eq_kernel, h=h, w=w, n_pix=n_pix),
         grid=(b, grid_n),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda bi, i: (bi, 0),
+            # scalar params ride as FULL arrays (SMEM blocks can't tile the
+            # batch dim on TPU: block (1, k) vs array (B, k) is rejected for
+            # B > 1); the kernel indexes rows by program id
+            pl.BlockSpec((b, 8), lambda bi, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda bi, i: (bi, 0),
+            pl.BlockSpec((b, 4), lambda bi, i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2), lambda bi, i: (bi, 0),
+            pl.BlockSpec((b, 2), lambda bi, i: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 12, sub, LANES), lambda bi, i: (bi, 0, i, 0),
                          memory_space=pltpu.VMEM),

@@ -112,6 +112,19 @@ class PoseNetTrainer:
         self.config = config
         model_cfg = dict(config["model"])
         model_cfg["image_shape"] = tuple(config["image_shape"])
+        # rematerialize the GRU-iteration + encoder activations in the
+        # backward pass: without it batch 8 at 512x640 needs ~30 GB of HBM
+        # (12 iterations of stored scan activations) vs the 16 GB chip.
+        # CPU CI skips it (no memory ceiling; remat doubles test wall time)
+        model_cfg.setdefault("remat", jax.default_backend() != "cpu")
+        # training differentiates the correlation lookup: the one-hot-matmul
+        # XLA formulation is fully differentiable with the volume stored ONCE
+        # outside the GRU scan (bf16), and its forward cost is negligible
+        # against the train step. (The Pallas kernels' custom VJPs don't
+        # compose with nn.remat's replay — Mosaic rejects the re-traced
+        # kernel — and onthefly's backward would rebuild f32 volumes per
+        # iteration.)
+        model_cfg.setdefault("lookup", "xla")
         self.model = PoseNet(model_cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.freeze_flow = freeze_flow

@@ -272,6 +272,44 @@ def _jax_objective_at(variables, frames, K, baseline, idx, pose7):
     raise IndexError(idx)
 
 
+def test_trajectory_ate_parity(systems):
+    """Chained-trajectory oracle for the BASELINE 'ATE within 1%' target:
+    both systems track the same synthetic sequence, relative poses are
+    chained into absolute trajectories exactly like PoseEstimator
+    (``last * rel^-1``, reference pose_estimator.py:90-91), and the
+    ATE-RMSE between the two trajectories must stay below 1% of the
+    trajectory length."""
+    from robust_pose_tpu.utils.metrics import absolute_trajectory_error
+
+    tmodel, variables, jinfer, K = systems
+    frames = _sequence(7)
+    baseline = 20.0
+
+    touts = _run_torch(tmodel, frames, K, baseline)
+    jouts = _run_jax(jinfer, variables, frames, K, baseline)
+
+    def chain(outs):
+        poses = [jse3.identity((1,))]
+        for o in outs:
+            rel = jnp.asarray(o["pose"])[None]
+            poses.append(jse3.normalize(
+                jse3.mul(poses[-1], jse3.inv(rel))))
+        return np.stack([np.asarray(jse3.matrix(p[0])) for p in poses])
+
+    traj_t = chain(touts)
+    traj_j = chain(jouts)
+
+    length = float(sum(
+        np.linalg.norm(traj_t[i + 1][:3, 3] - traj_t[i][:3, 3])
+        for i in range(len(traj_t) - 1)))
+    ate_rmse, *_ = absolute_trajectory_error(traj_t, traj_j)
+    print(f"traj length {length:.4f}, torch-vs-jax ATE {float(ate_rmse):.6f} "
+          f"({100 * float(ate_rmse) / length:.3f}% of length)")
+    assert length > 0.05, "degenerate synthetic trajectory"
+    assert float(ate_rmse) < 0.01 * length, (
+        f"ATE {float(ate_rmse)} exceeds 1% of trajectory length {length}")
+
+
 def test_bf16_ab_pose_delta(systems):
     """A/B: production bf16 convs + bf16 corr volume vs f32 — the pose delta
     must stay far below the failure-detection threshold (0.1) and small

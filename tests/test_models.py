@@ -348,6 +348,24 @@ def test_instance_norm_stats_kernel_and_torch_parity():
     y = instance_norm(x)
     np.testing.assert_allclose(y, t.permute(0, 2, 3, 1).numpy(), atol=2e-5)
 
+    # the kernel must be differentiable (training on TPU backprops through
+    # every encoder norm): custom-VJP grads vs XLA autodiff, probed with
+    # fixed random linear weights (grads are exact: a + 2x*b)
+    a = jax.random.normal(jax.random.PRNGKey(1), (3, 96))
+    b_ = jax.random.normal(jax.random.PRNGKey(2), (3, 96))
+
+    def loss_k(x_):
+        s_, ss_ = instance_norm_stats(x_, interpret=True)
+        return jnp.sum(a * s_) + jnp.sum(b_ * ss_)
+
+    def loss_ref(x_):
+        return (jnp.sum(a * x_.sum((1, 2)))
+                + jnp.sum(b_ * (x_ * x_).sum((1, 2))))
+
+    g_k = jax.grad(loss_k)(x)
+    g_r = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(g_k, g_r, rtol=1e-5, atol=1e-5)
+
 
 def test_raft_lookup_impls_agree():
     """RAFT forward with lookup='lanewise' matches lookup='xla' (f32)."""
