@@ -72,8 +72,9 @@ class PoseEstimator:
 
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
-        self._jit_step_f2m = None  # built lazily (needs the surfel config)
-        self._jit_window = None    # built lazily (windowed f2f streaming)
+        self._f2m_steps = {}    # SurfelConfig -> jitted fused f2m step
+        self._f2m_windows = {}  # SurfelConfig -> jitted f2m window scan
+        self._jit_window = None  # built lazily (windowed f2f streaming)
 
     # ------------------------------------------------------------------
     # jitted step functions
@@ -116,11 +117,11 @@ class PoseEstimator:
                            mask=mask, flow=out.stereo_flow2)
         return new_pose, frame, out, success
 
-    def _make_f2m_step(self, cfg):
-        """Build the fused frame-to-model step: transform + render + track +
-        conditional fuse in ONE compiled dispatch (the reference composes
+    def _f2m_body(self, cfg):
+        """Raw fused frame-to-model step: transform + render + track +
+        conditional fuse in ONE compiled region (the reference composes
         four separate calls plus a host sync — pose_estimator.py:127-144).
-        """
+        Built per surfel-capacity bucket (cfg is closed over)."""
         from robust_pose_tpu.slam.surfel_map import (
             surfel_fuse,
             surfel_render,
@@ -151,7 +152,36 @@ class PoseEstimator:
             )
             return new_pose, frame, out, success, new_state, model_frame
 
-        return jax.jit(step)
+        return step
+
+    def _get_f2m_step(self, cfg):
+        if cfg not in self._f2m_steps:
+            self._f2m_steps[cfg] = jax.jit(self._f2m_body(cfg))
+        return self._f2m_steps[cfg]
+
+    def _get_f2m_window(self, cfg):
+        """Jitted f2m window: scan the fused render+track+fuse step over T
+        frames with (pose, surfel state, frame) as carries — f2m streaming
+        with no per-frame host round-trips."""
+        if cfg not in self._f2m_windows:
+            body = self._f2m_body(cfg)
+
+            def window(variables, last_pose, state, prev_frame, limgs, rimgs,
+                       masks):
+                def scan_body(carry, fr):
+                    pose, st, pframe = carry
+                    limg, rimg, mask = fr
+                    new_pose, frame, out, success, st2, _ = body(
+                        variables, pose, st, pframe.rimg, limg, rimg, mask)
+                    return (new_pose, st2, frame), (new_pose, success)
+
+                (pose, st, frame), (poses, succ) = jax.lax.scan(
+                    scan_body, (last_pose, state, prev_frame),
+                    (limgs, rimgs, masks))
+                return pose, st, frame, poses, succ
+
+            self._f2m_windows[cfg] = jax.jit(window)
+        return self._f2m_windows[cfg]
 
     def _window_step(self, variables, last_pose, frame, feats, limgs, rimgs,
                      masks):
@@ -171,17 +201,17 @@ class PoseEstimator:
         return pose, fr_state, fts, poses, succ
 
     def track_window(self, limgs, rimgs, masks):
-        """Track a window of frames in one dispatch (f2f streaming mode).
+        """Track a window of frames in one dispatch (streaming mode).
 
         :param limgs/rimgs: (T, 1, 3, H, W) or (T, 1, H, W, 3) stereo frames
-        :param masks: (T, 1, 1, H, W) or (T, 1, H, W, 1)
+        :param masks: (T, 1, 1, H, W) or (T, 1, 1, H, W) or (T, 1, H, W, 1)
         :return: (poses (T, 1, 7) absolute SE(3) vecs, successes (T,) bool)
         Requires the first frame to have been processed via ``__call__``;
         per-frame diagnostics (flow/confidence maps for viewers) are not
-        materialized — use the per-frame API for those. f2f only (the f2m
-        reference is a fresh surfel rendering per frame).
+        materialized — use the per-frame API for those. Works for both f2f
+        (frame state + feature cache as scan carries) and f2m (surfel map as
+        a scan carry; render+track+fuse per scan step).
         """
-        assert self.frame2frame, "track_window is frame-to-frame only"
         assert self.frame is not None, "process the first frame via __call__"
         limgs = jnp.asarray(limgs, jnp.float32)
         rimgs = jnp.asarray(rimgs, jnp.float32)
@@ -191,6 +221,8 @@ class PoseEstimator:
             rimgs = rimgs.transpose(0, 1, 3, 4, 2)
         if masks.shape[-1] != 1:
             masks = masks.transpose(0, 1, 3, 4, 2)
+        if not self.frame2frame:
+            return self._track_window_f2m(limgs, rimgs, masks)
         if self._jit_window is None:
             self._jit_window = jax.jit(self._window_step)
         (self.last_pose, self.frame, self._feats, poses,
@@ -199,6 +231,27 @@ class PoseEstimator:
         self.last_frame = self.frame
         self.success = succ[-1]
         return poses, succ
+
+    def _track_window_f2m(self, limgs, rimgs, masks):
+        """f2m windowed streaming with bucket maintenance: if the surfel pool
+        overflowed its capacity bucket mid-window, grow it and re-run the
+        (pure) window from the pre-window carries — lossless, exact."""
+        pre = (self.last_pose, self.scene.state, self.frame)
+        result = {}
+
+        def run(state, cfg):
+            win = self._get_f2m_window(cfg)
+            (pose, st, frame, poses, succ) = win(
+                self.variables, pre[0], state, pre[2], limgs, rimgs, masks)
+            self.last_pose, self.frame = pose, frame
+            result["poses"], result["succ"] = poses, succ
+            return st
+
+        self.scene.state = run(self.scene.state, self.scene.cfg)
+        self.scene.post_fuse(pre[1], run)
+        self.last_frame = self.frame
+        self.success = result["succ"][-1]
+        return result["poses"], result["succ"]
 
     # ------------------------------------------------------------------
     # host API
@@ -265,14 +318,20 @@ class PoseEstimator:
             # ``get_pose_f2m``): render the reference view from the surfel
             # map, track against it and fuse on success — ONE fused dispatch,
             # no per-frame host sync
-            if self._jit_step_f2m is None:
-                self._jit_step_f2m = self._make_f2m_step(self.scene.cfg)
+            step = self._get_f2m_step(self.scene.cfg)
+            prev_state = self.scene.state
             (new_pose, frame, out, success, new_state,
-             model_frame) = self._jit_step_f2m(
+             model_frame) = step(
                 self.variables, self.last_pose, self.scene.state,
                 self.frame.rimg, limg, rimg, mask,
             )
             self.scene.state = new_state
+            # bucket maintenance (pose is solved BEFORE the fuse, so an
+            # overflow redo only needs the fuse itself re-run)
+            self.scene.post_fuse(
+                prev_state,
+                lambda st, cfg: self.scene._fuse(
+                    st, frame, new_pose[0], self.scene.kmat, cfg))
             # keep the rendered model frame inspectable with its confidences
             self.last_frame = model_frame.replace(
                 rimg=self.frame.rimg, confidence=out.conf1)

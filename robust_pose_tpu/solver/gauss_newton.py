@@ -53,6 +53,13 @@ class SolverConfig(NamedTuple):
     # ops/pallas_normal_eq.py — streams the pixel planes once per iteration
     # instead of materializing (B,N,2,6)/(B,N,3,6) Jacobians in HBM),
     # "xla" (einsum formulation), "auto" (pallas on TPU, xla on CPU)
+    early_exit: bool = True   # stop once every batch sample converged: an
+    # accepted step's tangent norm <= tol_step, or damping saturated (LM
+    # stuck). The reference's torch.optim.LBFGS terminates early the same
+    # way (tolerance_grad/tolerance_change defaults); iters stays the hard
+    # cap — essential at the production f2m lbgfs_iters=100
+    # (configuration/infer_scared.yaml:11).
+    tol_step: float = 1e-6    # tangent-norm convergence threshold
 
 
 # ---------------------------------------------------------------------------
@@ -168,14 +175,15 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
             return _normal_equations(pose, xs, img_coords)
 
     def propose(H, g, lam, pose):
-        """LM step from (H, g) at ``pose`` with Marquardt diag damping."""
+        """LM step from (H, g) at ``pose`` with Marquardt diag damping.
+        Returns (trial pose, tangent step)."""
         diag = jnp.einsum("bii->bi", H)
         Hd = H + (lam[:, None] * diag + 1e-12)[..., None] * eye6
         delta = -jnp.linalg.solve(Hd, g[..., None])[..., 0]
         delta = jnp.where(
             jnp.all(jnp.isfinite(delta), axis=-1)[:, None], delta, 0.0
         )
-        return se3.retract(delta, pose)
+        return se3.retract(delta, pose), delta
 
     # deferred-acceptance LM: each iteration builds residuals exactly ONCE
     # (at the trial point); the accepted point's normal equations are cached
@@ -185,13 +193,15 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
     pose0 = se3.identity((b,), dtype=dtype)
     H0, g0, cost0 = normal_eq(pose0)
     lam0 = jnp.full((b,), cfg.init_lambda, dtype=dtype)
-    trial0 = propose(H0, g0, lam0, pose0)
-    state0 = (pose0, cost0, H0, g0, lam0, trial0)
+    trial0, delta0 = propose(H0, g0, lam0, pose0)
+    done0 = jnp.zeros((b,), bool)
+    state0 = (jnp.zeros((), jnp.int32), pose0, cost0, H0, g0, lam0, trial0,
+              delta0, done0)
 
-    def body(_, state):
-        pose, cost, H, g, lam, trial = state
+    def body(state):
+        it, pose, cost, H, g, lam, trial, delta, done = state
         H_t, g_t, cost_t = normal_eq(trial)
-        accept = cost_t < cost
+        accept = (cost_t < cost) & ~done  # converged samples are frozen
 
         acc = lambda a, b_: jnp.where(
             accept.reshape((-1,) + (1,) * (a.ndim - 1)), a, b_
@@ -200,12 +210,26 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
         cost = jnp.where(accept, cost_t, cost)
         H = acc(H_t, H)
         g = acc(g_t, g)
-        lam = jnp.where(accept, lam * cfg.lambda_down, lam * cfg.lambda_up)
+        lam = jnp.where(accept, lam * cfg.lambda_down,
+                        jnp.where(done, lam, lam * cfg.lambda_up))
         lam = jnp.clip(lam, 1e-9, 1e6)
-        trial = propose(H, g, lam, pose)
-        return pose, cost, H, g, lam, trial
+        # convergence: an ACCEPTED step smaller than tol_step in the tangent
+        # space, or saturated damping (16+ consecutive rejections — the LM
+        # analogue of a failed line search)
+        step_small = jnp.linalg.norm(delta, axis=-1) <= cfg.tol_step
+        done = done | (accept & step_small) | (lam >= 1e6)
+        trial, delta = propose(H, g, lam, pose)
+        return it + 1, pose, cost, H, g, lam, trial, delta, done
 
-    pose, *_ = jax.lax.fori_loop(0, cfg.iters, body, state0)
+    if cfg.early_exit:
+        def cond(state):
+            it, *_, done = state
+            return (it < cfg.iters) & ~jnp.all(done)
+
+        _, pose, *_ = jax.lax.while_loop(cond, body, state0)
+    else:
+        _, pose, *_ = jax.lax.fori_loop(
+            0, cfg.iters, lambda _, s: body(s), state0)
     pose = se3.normalize(pose)
     return pose, se3.log(pose)
 
