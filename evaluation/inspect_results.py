@@ -74,30 +74,63 @@ def collect_wandb(project: str, methods):
     return df
 
 
-def report(runs_df: pd.DataFrame, methods, plot: bool = False):
+def _method_block(df: pd.DataFrame, metric: str):
+    """One per-method block: duration, per-dataset mean±std table, macro
+    average (mean of per-dataset means ± their std) — the exact layout of
+    reference inspect_results_test.py:67-74."""
+    print("average duration in frames:", df["frame"].mean(), "+/-",
+          df["frame"].std())
+    g = pd.DataFrame({
+        "mean": df.groupby("dataset", observed=True)[metric].mean(),
+        "std": df.groupby("dataset", observed=True)[metric].std(),
+    })
+    print(g)
+    print("macro average:", g["mean"].mean(), "+/-", g["mean"].std())
+    return g
+
+
+def report_test(runs_df: pd.DataFrame, methods):
+    """Test-set comparison protocol: per-sequence mean±std + macro average
+    for each method group across ATE/RPE-trans/RPE-rot — reproduces
+    reference evaluation/inspect_results_test.py:60-97 line for line."""
     runs_df = runs_df.copy()
     runs_df["RPE/rot"] = runs_df["RPE/rot"] * 180 / np.pi  # rad -> deg
-    for metric, unit in (("ATE/RMSE", "mm"), ("RPE/trans", "mm"),
-                         ("RPE/rot", "deg")):
+    for metric, title in (("ATE/RMSE", "ATE-RMSE in mm"),
+                          ("RPE/trans", "RPE-trans in mm"),
+                          ("RPE/rot", "RPE-rot in deg")):
         print("\n------------")
-        print(f"{metric} in {unit}")
+        print(title)
         for method in methods:
-            df = runs_df[runs_df.method.eq(method)]
-            if df.empty:
-                continue
             print("\n------------")
             print(method)
-            if "frame" in df:
-                print("average duration in frames:", df["frame"].mean(),
-                      "+/-", df["frame"].std())
-            g = pd.DataFrame({
-                "mean": df.groupby("dataset")[metric].mean(),
-                "std": df.groupby("dataset")[metric].std(),
-            })
-            print(g)
-            print("macro average:", g["mean"].mean(), "+/-", g["mean"].std())
-            print("micro average:", df[metric].mean(), "+/-",
-                  df[metric].std())
+            df = runs_df[runs_df.method.eq(method)]
+            _method_block(df, metric)
+
+
+def report_scenario(runs_df: pd.DataFrame, methods, plot: bool = False):
+    """Scenario benchmarking protocol: ATE per method (macro + micro), then
+    per-run info per dataset x keyframe — reproduces reference
+    evaluation/inspect_results.py:61-88."""
+    print("\n------------")
+    print("ATE-RMSE in mm")
+    for method in methods:
+        print("\n------------")
+        print(method)
+        df = runs_df[runs_df.method.eq(method)]
+        _method_block(df, "ATE/RMSE")
+        print("micro average:", df["ATE/RMSE"].mean(), "+/-",
+              df["ATE/RMSE"].std())
+
+    print("\n------------")
+    print("ATE-RMSE in mm")
+    key = "keyframe" if "keyframe" in runs_df else "run_name"
+    for run in runs_df.dataset.unique():
+        df = runs_df[runs_df.dataset.eq(run)]
+        for kf in df[key].unique():
+            print("\n------------")
+            print(run, kf)
+            df1 = df[df[key].eq(kf)]
+            print(df1[["method", "ATE/RMSE"]])
     if plot:
         import matplotlib.pyplot as plt
         import seaborn as snb
@@ -115,6 +148,11 @@ if __name__ == "__main__":
                         default=["test_orbslam2", "test_efusion", "test_ours"])
     parser.add_argument("--source", choices=["local", "wandb"],
                         default="local")
+    parser.add_argument("--group-mode", choices=["test", "scenario"],
+                        default="test",
+                        help="'test': the paper's test-set comparison tables "
+                             "(inspect_results_test.py); 'scenario': the "
+                             "scenario ATE protocol (inspect_results.py)")
     parser.add_argument("--plot", action="store_true")
     args = parser.parse_args()
 
@@ -125,5 +163,13 @@ if __name__ == "__main__":
     if df.empty:
         print("no runs found")
         sys.exit(1)
+    # stable method ordering exactly like the reference (categorical sort,
+    # inspect_results_test.py:56-58)
+    df["method"] = df["method"].astype("category").cat.set_categories(
+        args.methods)
+    df = df.sort_values(["method"])
     df.to_csv("project.csv")
-    report(df, args.methods, args.plot)
+    if args.group_mode == "test":
+        report_test(df, args.methods)
+    else:
+        report_scenario(df, args.methods, args.plot)

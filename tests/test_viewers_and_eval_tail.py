@@ -195,9 +195,20 @@ def test_inspect_results_local(tmp_path, capsys):
     df = inspect_results.collect_local(str(root), ["ours", "orbslam2"])
     assert len(df) == 4
     assert set(df.method) == {"ours", "orbslam2"}
-    inspect_results.report(df, ["ours", "orbslam2"], plot=False)
+    # test-set protocol: three metric tables, macro average per method
+    # (reference inspect_results_test.py:60-97 layout)
+    inspect_results.report_test(df, ["ours", "orbslam2"])
     out = capsys.readouterr().out
-    assert "macro average" in out and "ATE/RMSE" in out
+    assert "ATE-RMSE in mm" in out and "RPE-trans in mm" in out
+    assert "RPE-rot in deg" in out
+    assert out.count("macro average") == 6  # 3 metrics x 2 methods
+    assert "micro average" not in out
+    # scenario protocol: ATE macro+micro + per-run blocks
+    # (reference inspect_results.py:61-88 layout)
+    inspect_results.report_scenario(df, ["ours", "orbslam2"], plot=False)
+    out = capsys.readouterr().out
+    assert out.count("micro average") == 2
+    assert "seq_01" in out and "ATE/RMSE" in out
 
 
 def test_trajectory_plots_cli(tmp_path):
