@@ -170,7 +170,10 @@ def convert_posenet_pth(path: str) -> Dict:
     import torch
 
     checkp = torch.load(path, map_location="cpu", weights_only=False)
-    sd = {k: v.numpy() for k, v in checkp["state_dict"].items()}
+    # DataParallel-trained checkpoints carry a 'module.' prefix the
+    # reference strips at load (pose_estimator.py:33-35)
+    sd = strip_module_prefix(checkp["state_dict"])
+    sd = {k: v.numpy() for k, v in sd.items()}
     variables = convert_posenet_state_dict(sd)
     return {"params": variables, "config": checkp["config"]}
 
