@@ -1,111 +1,148 @@
-"""Benchmark: steady-state streaming throughput of the tracking step on one
-TPU chip.
+"""Benchmark: steady-state streaming throughput of the SHIPPED tracking API
+on one TPU chip.
 
-Measures the complete PoseNet tracking step (batched temporal+stereo RAFT
-flow at 12 GRU iterations, disparity->depth, flow warps, TinyUNet confidence
-heads, 20-iteration Gauss-Newton pose solve) at the production StereoMIS
-shape 512x640 — the per-frame work of reference scripts/infer_trajectory.py
-(configuration/infer_f2f.yaml compute shape).
+Drives ``PoseEstimator.track_window`` — the public streaming API used by
+scripts/infer_trajectory.py — NOT a parallel re-implementation, so the
+number includes the full production semantics: batched temporal+stereo RAFT
+flow (12 GRU iterations), disparity->depth, flow warps, TinyUNet confidence
+heads, Gauss-Newton pose solve with the ``|log(rel)| > 0.1`` failure branch
+(reference core/pose/pose_estimator.py:81-87), pose chaining, and the f2f
+frame-state carry. Production StereoMIS shape 512x640, lbgfs_iters=20
+(configuration/infer_f2f.yaml).
 
-Frames are processed as a lax.scan over a pre-staged window with the REAL
-sequential dependency (frame t consumes frame t-1's image/depth/stereo-flow
-state and the poses chain), one dispatch per window — the steady-state
-throughput a double-buffered host pipeline sustains. Distinct random frames
-per window (the axon runtime caches byte-identical executions).
+A second metric — frame-to-model streaming FPS at the production SCARED
+config (lbgfs_iters=100, configuration/infer_scared.yaml:11) — rides in the
+same JSON line (``f2m_fps``): render-from-surfel-map + track + fuse per
+frame with the surfel pool as a scan carry.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is FPS / 30 (the >30 FPS north-star target from BASELINE.md).
+Frames are shifted crops of a blurred random texture (correlated like real
+video, so tracking succeeds and the fuse path stays engaged), staged as
+uint8 on device before timing. Per-stage device breakdowns live in
+scripts/profile_stages.py.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
+where vs_baseline is FPS / 30 (the >30 FPS north-star from BASELINE.md).
 """
 import json
 import time
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
 
 
-def main():
+H, W = 512, 640
+FX = 500.0
+
+
+def make_sequence(n_frames, disparity=8, step=3, seed=0):
+    """Shifted crops of one blurred random texture: a horizontally
+    translating stereo camera with constant disparity (depth = fx*B/d)."""
+    rng = np.random.default_rng(seed)
+    pad = disparity + step * n_frames + 8
+    base = rng.uniform(0.0, 255.0, (H + 16, W + pad, 3)).astype(np.float32)
+    # separable box blur for smooth image gradients (pure numpy, cheap)
+    k = 9
+    c = np.cumsum(np.pad(base, ((k, k), (0, 0), (0, 0)), mode="edge"), axis=0)
+    base = (c[2 * k:] - c[:-2 * k]) / (2 * k)
+    c = np.cumsum(np.pad(base, ((0, 0), (k, k), (0, 0)), mode="edge"), axis=1)
+    base = (c[:, 2 * k:] - c[:, :-2 * k]) / (2 * k)
+    base = base[:H + 16]
+
+    def crop(dx):
+        return base[8:8 + H, dx:dx + W]
+
+    ls = np.stack([crop(step * i)[None] for i in range(n_frames)])
+    rs = np.stack([crop(step * i + disparity)[None] for i in range(n_frames)])
+    return ls.astype(np.uint8), rs.astype(np.uint8)
+
+
+def build_estimator(slam_cfg, disparity=8):
     from robust_pose_tpu.models.posenet import PoseNet
+    from robust_pose_tpu.slam.pose_estimator import PoseEstimator
 
-    H, W = 512, 640
-    T = 8             # frames per window (one dispatch)
-    N_WINDOWS = 6
-    config = {"image_shape": (H, W), "iters": 12, "lbgfs_iters": 20,
-              "use_weights": True}
-    model = PoseNet(config)
-
-    key = jax.random.PRNGKey(0)
+    model_cfg = {"image_shape": (H, W), "iters": 12,
+                 "lbgfs_iters": slam_cfg["lbgfs_iters"], "use_weights": True}
+    model = PoseNet(model_cfg)
     img = jnp.zeros((1, H, W, 3), jnp.float32)
-    K = jnp.array([[500.0, 0.0, W / 2], [0.0, 500.0, H / 2],
-                   [0.0, 0.0, 1.0]])[None]
-    bl = jnp.asarray([16.0], jnp.float32)
-    variables = model.init(key, img, img, K, bl, img, img)
+    K = np.array([[FX, 0.0, W / 2], [0.0, FX, H / 2], [0.0, 0.0, 1.0]],
+                 np.float32)
+    variables = model.init(jax.random.PRNGKey(0), img, img, jnp.asarray(K)[None],
+                           jnp.ones((1,)), img, img)
+    # untrained-RAFT flow is near-random: depth would be invalid at most
+    # pixels, the f2m rendering nearly empty, and the |log|>0.1 failure
+    # branch would skip every fuse — leaving the fuse/render work untimed.
+    # Bias the flow head so predicted flow ~ the sequence's true constant
+    # disparity (flow accumulates ~8*iters*bias px; same trick as
+    # tests/test_training.py) — every production path stays engaged.
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    variables["params"]["flow"]["update"]["update_block"]["flow_head"][
+        "conv2"]["bias"] = jnp.array([-disparity / (8.0 * 12), 0.0])
+    ckpt = {"params": variables, "config": {"model": model_cfg}}
+    return PoseEstimator(slam_cfg, K, 16.0, ckpt, (W, H))
 
-    @jax.jit
-    def window(variables, state, limgs, rimgs, masks):
-        """Track T frames sequentially in one dispatch (f2f chaining; the
-        reference image's encoder features are carried, not recomputed)."""
-        def body(st, fr):
-            img1, depth1, sflow1, last_pose, feats = st
-            limg, rimg, mask = fr
-            out = model.apply(
-                variables, img1, limg, K, bl, depth1, rimg, mask, mask,
-                sflow1, method=PoseNet.infer, feats=feats,
-            )
-            new_pose = jnp.where(
-                jnp.all(jnp.isfinite(out.pose)), out.pose, last_pose)
-            return ((limg, out.depth2, out.stereo_flow2, new_pose, out.feats),
-                    new_pose)
 
-        st, poses = jax.lax.scan(body, state, (limgs, rimgs, masks))
-        return st, poses
+def bench_stream(est, t_window, n_windows, seed0=1):
+    """Feed the first frame per-frame, then time n_windows track_window
+    dispatches of t_window frames each (device-staged uint8 input)."""
+    ls, rs = make_sequence(1)
+    mask1 = np.ones((1, H, W, 1), bool)
+    est(ls[0], rs[0], mask1)
 
-    @jax.jit
-    def encode_ref(variables, img):
-        return model.apply(variables, img, method=PoseNet.encode_ref)
+    masks = jnp.ones((t_window, 1, H, W, 1), bool)
+    windows = []
+    for i in range(n_windows + 2):
+        ls, rs = make_sequence(t_window, seed=seed0 + i)
+        windows.append((jax.device_put(jnp.asarray(ls)),
+                        jax.device_put(jnp.asarray(rs))))
+    jax.block_until_ready(windows)
 
-    def make_window(i):
-        # uint8 frames: what a real camera/decoder delivers — 4x fewer
-        # staged bytes than f32 (the model normalizes internally)
-        ks = jax.random.split(jax.random.PRNGKey(i), 2)
-        return (
-            jax.random.randint(ks[0], (T, 1, H, W, 3), 0, 255, jnp.uint8),
-            jax.random.randint(ks[1], (T, 1, H, W, 3), 0, 255, jnp.uint8),
-            jnp.ones((T, 1, H, W, 1), bool),
-        )
+    # warmup TWICE: first call compiles for the uncommitted first-frame state
+    # placement, second compiles the steady-state signature (carry = jit
+    # output); f2m additionally warms the bucket-growth recompile here
+    for i in (-1, -2):
+        poses, succ = est.track_window(windows[i][0], windows[i][1], masks)
+    _ = float(jnp.sum(poses))  # warm the readback reduce
 
-    img0 = jnp.zeros((1, H, W, 3), jnp.uint8)
-    state0 = (img0,
-              jnp.full((1, H, W, 1), 0.5),
-              jnp.full((1, H, W, 2), -16.0),
-              jnp.zeros((1, 7)).at[:, 6].set(1.0),
-              encode_ref(variables, img0))
-    windows = [jax.block_until_ready(make_window(i))
-               for i in range(N_WINDOWS + 2)]
-
-    # warmup TWICE: the first call compiles for the uncommitted state0
-    # placement; the second compiles the steady-state signature where the
-    # carry is a committed jit output — both must be cached before timing
-    st, poses = window(variables, state0, *windows[-1])
-    jax.block_until_ready(poses)
-    st, poses = window(variables, st, *windows[-2])
-    # warm the readback path too — its (tiny) reduce would otherwise compile
-    # inside the timed region (~10 s via the remote compile helper)
-    _ = float(jnp.sum(poses))
-
+    succs = []
     t0 = time.perf_counter()
-    for i in range(N_WINDOWS):
-        st, poses = window(variables, st, *windows[i])
+    for i in range(n_windows):
+        poses, succ = est.track_window(windows[i][0], windows[i][1], masks)
+        succs.append(succ)  # keep on device — a per-window readback would
+        # serialize the dispatch pipeline (each sync pays the tunnel RPC)
     # forced host readback: on the axon tunnel block_until_ready can return
     # before remote execution completes; fetching a value cannot
     _ = float(jnp.sum(poses))
-    dt = (time.perf_counter() - t0) / (N_WINDOWS * T)
-    fps = 1.0 / dt
+    dt = (time.perf_counter() - t0) / (n_windows * t_window)
+    n_ok = int(sum(int(jnp.sum(s)) for s in succs))
+    return 1.0 / dt, n_ok / (n_windows * t_window)
+
+
+def main():
+    # frame-to-frame, production configuration/infer_f2f.yaml
+    f2f = build_estimator({
+        "frame2frame": True, "lbgfs_iters": 20, "conf_weighing": True,
+        "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
+    })
+    f2f_fps, f2f_ok = bench_stream(f2f, t_window=8, n_windows=6)
+
+    # frame-to-model, production configuration/infer_scared.yaml (iters=100)
+    f2m = build_estimator({
+        "frame2frame": False, "lbgfs_iters": 100, "conf_weighing": True,
+        "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
+        "map_capacity": 4 * H * W,
+    })
+    f2m_fps, f2m_ok = bench_stream(f2m, t_window=4, n_windows=4, seed0=11)
 
     print(json.dumps({
         "metric": "stereomis_tracking_fps_512x640_streaming",
-        "value": round(fps, 3),
+        "value": round(f2f_fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
+        "vs_baseline": round(f2f_fps / 30.0, 3),
+        "f2m_fps_iters100": round(f2m_fps, 3),
+        "f2f_success_rate": round(f2f_ok, 3),
+        "f2m_success_rate": round(f2m_ok, 3),
     }))
 
 

@@ -248,7 +248,7 @@ class PoseEstimator:
             return st
 
         self.scene.state = run(self.scene.state, self.scene.cfg)
-        self.scene.post_fuse(pre[1], run)
+        self.scene.post_fuse(pre[1], run, frames=limgs.shape[0])
         self.last_frame = self.frame
         self.success = result["succ"][-1]
         return result["poses"], result["succ"]
@@ -266,6 +266,10 @@ class PoseEstimator:
             frame, jnp.asarray(self.intrinsics[0]),
             config={"dist_thr": self.config.get("dist_thr", 0.05),
                     "average_pts": self.config.get("average_pts", True),
+                    # perf-critical f2m path: single-pass packed winner by
+                    # default (ties at 2^-conf_bits granularity resolve by
+                    # slot id — the reference's own tie order is arbitrary)
+                    "exact_render": self.config.get("exact_render", False),
                     "upscale": self.config.get("upscale", 1)},
             pmat=self.last_pose[0],
             # slot-pool bound: every fuse/render pass scales with capacity,

