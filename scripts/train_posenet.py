@@ -30,10 +30,11 @@ def _batches(dataset, batch_size, rng=None, shuffle=False):
 
 
 def run_val(trainer, state, val_step, data_val, batch_size, logger, mesh):
+    from robust_pose_tpu.data.dataset_utils import prefetch_iterator
     from robust_pose_tpu.parallel.mesh import shard_batch
 
     losses = []
-    for batch in _batches(data_val, batch_size):
+    for batch in prefetch_iterator(_batches(data_val, batch_size)):
         m = val_step(state, shard_batch(mesh, batch))
         logger.push({k: float(v) for k, v in m.items() if k != "val/loss"},
                     max(len(data_val) // batch_size, 1), "val")
@@ -49,6 +50,7 @@ def main(args, config, force_cpu=False):
         jax.config.update("jax_platforms", "cpu")
 
     from robust_pose_tpu.data import train_datasets as datasets
+    from robust_pose_tpu.data.dataset_utils import prefetch_iterator
     from robust_pose_tpu.parallel.mesh import make_mesh, shard_batch
     from robust_pose_tpu.train.trainer import PoseNetTrainer
     from robust_pose_tpu.utils.checkpoints import (
@@ -103,7 +105,12 @@ def main(args, config, force_cpu=False):
     batch_size = config["train"]["batch_size"]
     should_keep_training = True
     while should_keep_training:
-        for batch in _batches(data_train, batch_size, rng, shuffle=True):
+        # background-thread batch prefetch: decode/augment the next batches
+        # while the device runs the current step (reference used DataLoader
+        # workers — train_posenet.py:64-65; without this a real TPU run is
+        # host-bound on cv2 decode)
+        for batch in prefetch_iterator(
+                _batches(data_train, batch_size, rng, shuffle=True)):
             state, metrics = train_step(state, shard_batch(mesh, batch))
             logger.push({k: float(v) for k, v in metrics.items()}, SUM_FREQ)
             if total_steps % SUM_FREQ == SUM_FREQ - 1:

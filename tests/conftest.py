@@ -17,3 +17,14 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite is compile-bound (the e2e parity
+# test alone spends ~8 min tracing+compiling the full PoseNet on CPU) — a
+# warm cache cuts the full tier to a fraction. Keyed by JAX/XLA version, so
+# safe to persist across CI runs (actions/cache in tests.yaml).
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -28,6 +28,11 @@ from tests.torch_ref import se3 as tse3
 from tests.torch_ref.posenet import PoseNet as TorchPoseNet
 
 H, W = 384, 512  # smallest shape the unpadded TinyUNet heads support
+
+# the shared ``systems`` fixture traces+compiles the full PoseNet twice
+# (JAX and torch oracles) — minutes of cold-cache CPU compile; CI quick
+# tier skips the module, the full tier runs it with a warm .jax_cache
+pytestmark = pytest.mark.heavy
 N_FRAMES = 4
 ITERS = 3         # RAFT GRU iterations (config-controlled; parity unaffected)
 SOLVER_ITERS = 25
