@@ -70,15 +70,18 @@ def build_estimator(slam_cfg, disparity=8):
                  np.float32)
     variables = model.init(jax.random.PRNGKey(0), img, img, jnp.asarray(K)[None],
                            jnp.ones((1,)), img, img)
-    # untrained-RAFT flow is near-random: depth would be invalid at most
-    # pixels, the f2m rendering nearly empty, and the |log|>0.1 failure
+    # untrained-RAFT flow is near-random (the GRU's random-weight noise
+    # accumulates to ~100 px over 12 iterations): depth would be invalid at
+    # most pixels, the f2m rendering half-empty, and the |log|>0.1 failure
     # branch would skip every fuse — leaving the fuse/render work untimed.
-    # Bias the flow head so predicted flow ~ the sequence's true constant
-    # disparity (flow accumulates ~8*iters*bias px; same trick as
-    # tests/test_training.py) — every production path stays engaged.
-    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
-    variables["params"]["flow"]["update"]["update_block"]["flow_head"][
-        "conv2"]["bias"] = jnp.array([-disparity / (8.0 * 12), 0.0])
+    # Zero the flow-head kernel and bias it so every GRU iteration emits
+    # exactly the sequence's constant disparity/12 (flow accumulates
+    # 8*iters*bias px) — identical compute graph, but depth is valid
+    # everywhere and every production path stays engaged.
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # fresh dicts
+    fh = variables["params"]["flow"]["update"]["update_block"]["flow_head"]
+    fh["conv2"]["kernel"] = jnp.zeros_like(fh["conv2"]["kernel"])
+    fh["conv2"]["bias"] = jnp.array([-disparity / (8.0 * 12), 0.0])
     ckpt = {"params": variables, "config": {"model": model_cfg}}
     return PoseEstimator(slam_cfg, K, 16.0, ckpt, (W, H))
 
@@ -127,11 +130,16 @@ def main():
     })
     f2f_fps, f2f_ok = bench_stream(f2f, t_window=8, n_windows=6)
 
-    # frame-to-model, production configuration/infer_scared.yaml (iters=100)
+    # frame-to-model, production configuration/infer_scared.yaml (iters=100).
+    # The pool is pre-sized to its cap: the synthetic sequence appends
+    # aggressively (random-weight confidences defeat the depth-match test),
+    # so without pre-sizing the bucket promotions would recompile the window
+    # mid-benchmark; pool passes here cost the full 4-frame capacity —
+    # conservative vs a matched real sequence.
     f2m = build_estimator({
         "frame2frame": False, "lbgfs_iters": 100, "conf_weighing": True,
         "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
-        "map_capacity": 4 * H * W,
+        "map_capacity": 4 * H * W, "initial_bucket": 4 * H * W,
     })
     f2m_fps, f2m_ok = bench_stream(f2m, t_window=4, n_windows=4, seed0=11)
 

@@ -270,6 +270,7 @@ class PoseEstimator:
                     # default (ties at 2^-conf_bits granularity resolve by
                     # slot id — the reference's own tie order is arbitrary)
                     "exact_render": self.config.get("exact_render", False),
+                    "initial_bucket": self.config.get("initial_bucket"),
                     "upscale": self.config.get("upscale", 1)},
             pmat=self.last_pose[0],
             # slot-pool bound: every fuse/render pass scales with capacity,

@@ -397,7 +397,12 @@ class SurfelMap:
             exact_render=bool(config.get("exact_render", True)),
             upscale=int(config.get("upscale", 1)),
         )
-        bucket = max(min(self.max_capacity, 2 * self._n), self._n)
+        # initial_bucket pre-sizes the pool (skips growth recompiles on
+        # sequences whose surfel count is known to reach it); default
+        # starts small (2x frame) and doubles on demand
+        bucket = int(config.get("initial_bucket") or
+                     max(min(self.max_capacity, 2 * self._n), self._n))
+        bucket = max(min(bucket, self.max_capacity), self._n)
         self.cfg = SurfelConfig(capacity=bucket, **self._cfg_kw)
         self.kmat = jnp.asarray(kmat, jnp.float32)
         self.depth_scale = depth_scale

@@ -153,6 +153,11 @@ def main(args, config):
         print("per-frame stages:", timer.report())
     save_trajectory(trajectory, args.outpath)
     if scene is not None:
+        # surface pool saturation in the run summary (the per-fuse warning
+        # in SurfelMap.post_fuse fires once; this records the final count)
+        n_dropped = int(scene.state.n_dropped)
+        print(f"surfels: {scene.n_active} active / bucket {scene.cfg.capacity}"
+              f" / cap {scene.max_capacity}; dropped appends: {n_dropped}")
         scene.save_ply(os.path.join(args.outpath, "stable_map.ply"), stable=True)
         scene.save_ply(os.path.join(args.outpath, "all_map.ply"), stable=False)
 
