@@ -482,18 +482,33 @@ def upsample_flow_convex(flow: Array, mask: Array) -> Array:
     :return: (B, 8H, 8W, 2)
     """
     b, h, w, _ = flow.shape
-    m = mask.reshape(b, h, w, 9, 8, 8)
-    m = jax.nn.softmax(m, axis=3)
+    # TPU layout note: the textbook formulation reshapes the mask to
+    # (B, H, W, 9, 8, 8) and einsums over the 9-neighborhood — but trailing
+    # dims (8, 8) tile to the TPU's (8, 128) native tile, a 14-16x padding
+    # blowup (~3.7 GB padded per stored copy at train shape, and the
+    # dominant remat buffers of the whole train step). Slab-wise softmax
+    # over the 9 neighbors keeps every intermediate at a 64-wide minor dim
+    # (the 8x8 subpixel block, flattened): mathematically identical.
+    slabs = [mask[..., 64 * k:64 * (k + 1)] for k in range(9)]  # (B,H,W,64)
+    mx = slabs[0]
+    for s in slabs[1:]:
+        mx = jnp.maximum(mx, s)
+    es = [jnp.exp(s - mx) for s in slabs]
+    den = sum(es)
 
     f = 8.0 * flow
     fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # 3x3 neighborhood stack (unfold)
-    neigh = jnp.stack(
-        [fp[:, i:i + h, j:j + w] for i in range(3) for j in range(3)], axis=3
-    )  # (B, H, W, 9, 2)
-    up = jnp.einsum("bhwkuv,bhwkc->bhwuvc", m, neigh)  # (B, H, W, 8, 8, 2)
-    up = up.transpose(0, 1, 3, 2, 4, 5)  # (B, H, 8, W, 8, 2)
-    return up.reshape(b, 8 * h, 8 * w, 2)
+    # 3x3 neighborhood (unfold order matches the reference's F.unfold:
+    # row-major over (di, dj)), one (B, H, W) plane per neighbor/channel
+    up_c = []
+    for c in range(2):
+        acc = 0.0
+        for k, (i, j) in enumerate((i, j) for i in range(3) for j in range(3)):
+            acc = acc + es[k] * fp[:, i:i + h, j:j + w, c:c + 1]
+        u = acc / den                                     # (B, H, W, 64)
+        u = u.reshape(b, h, w, 8, 8).transpose(0, 1, 3, 2, 4)
+        up_c.append(u.reshape(b, 8 * h, 8 * w))
+    return jnp.stack(up_c, axis=-1)
 
 
 class _UpdateStep(nn.Module):

@@ -1,0 +1,134 @@
+"""Per-stage device timing of the frame-to-model step at production shape.
+
+Times surfel_render / surfel_fuse / the tracking step (lbgfs_iters=100,
+configuration/infer_scared.yaml) as separate jitted functions over a pool
+bucket of ``--frames`` x (H*W) slots, to locate the f2m milliseconds
+(VERDICT r2 item 1). Same pipelined-timing methodology as
+scripts/profile_stages.py.
+
+Usage: python scripts/profile_f2m.py [--frames 4] [--iters 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 512, 640
+N = H * W
+
+
+def timed(fn, make_inputs, n=8, name=""):
+    batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
+    out = fn(*batches[-1])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(*batches[i])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1000.0
+    print(f"{name:44s} {dt:8.2f} ms", flush=True)
+    return dt
+
+
+def rand(key, shape, scale=1.0):
+    return scale * jax.random.uniform(jax.random.PRNGKey(key), shape)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4,
+                    help="pool bucket in frames (capacity = frames * H * W)")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--stage", default="all")
+    args = ap.parse_args()
+    n = args.iters
+    want = lambda s: args.stage in ("all", s)
+
+    from robust_pose_tpu import se3
+    from robust_pose_tpu.slam.frame import make_frame
+    from robust_pose_tpu.slam.surfel_map import (
+        SurfelConfig, SurfelState, surfel_fuse, surfel_render)
+
+    cap = args.frames * N
+    alloc = cap + N
+    kmat = jnp.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1.0]])
+    cfg = SurfelConfig(capacity=cap, img_shape=(H, W), d_thresh=0.05,
+                       average_pts=False, exact_render=False)
+
+    def mk_state(i):
+        # active prefix covering ~90% of capacity, points in front of the
+        # camera at depth ~0.5 spread over the frustum
+        pts = rand(5 * i, (alloc, 3), 1.0)
+        z = 0.3 + 0.4 * pts[:, 2]
+        x = (pts[:, 0] - 0.5) * z * (W / 500.0)
+        y = (pts[:, 1] - 0.5) * z * (H / 500.0)
+        opts = jnp.stack([x, y, z], -1)
+        hi = int(0.9 * cap)
+        active = jnp.arange(alloc) < hi
+        return SurfelState(
+            opts=opts, rgb=rand(5 * i + 1, (alloc, 3), 255.0),
+            conf=rand(5 * i + 2, (alloc,), 1.0),
+            t_created=jnp.zeros((alloc,), jnp.int32),
+            active=active, tick=jnp.asarray(3, jnp.int32),
+            pmat=se3.identity(()),
+            n_dropped=jnp.zeros((), jnp.int32),
+            hi=jnp.asarray(hi, jnp.int32))
+
+    def mk_frame(i):
+        return make_frame(rand(7 * i, (1, H, W, 3), 255.0),
+                          rand(7 * i + 1, (1, H, W, 3), 255.0),
+                          depth=0.3 + rand(7 * i + 2, (1, H, W, 1), 0.4),
+                          mask=jnp.ones((1, H, W, 1), bool),
+                          flow=rand(7 * i + 3, (1, H, W, 2), 2.0))
+
+    if want("render"):
+        f = jax.jit(lambda st: surfel_render(st, kmat, cfg))
+        timed(f, lambda i: (mk_state(i),), n,
+              f"surfel_render (bucket {args.frames}xHW, packed)")
+        cfg_e = cfg._replace(exact_render=True)
+        fe = jax.jit(lambda st: surfel_render(st, kmat, cfg_e))
+        timed(fe, lambda i: (mk_state(i),), n,
+              f"surfel_render (bucket {args.frames}xHW, exact)")
+
+    if want("fuse"):
+        f = jax.jit(lambda st, fr: surfel_fuse(st, fr, se3.identity(()),
+                                               kmat, cfg))
+        timed(f, lambda i: (mk_state(i), mk_frame(i)), n,
+              f"surfel_fuse (bucket {args.frames}xHW)")
+
+    if want("track"):
+        from robust_pose_tpu.models.posenet import PoseNet
+        config = {"image_shape": (H, W), "iters": 12, "lbgfs_iters": 100,
+                  "use_weights": True}
+        model = PoseNet(config)
+        img = jnp.zeros((1, H, W, 3), jnp.float32)
+        K = kmat[None]
+        init_model = PoseNet(dict(config, lookup="xla"))
+        variables = jax.jit(
+            lambda k: init_model.init(k, img, img, K, jnp.ones((1,)), img,
+                                      img), backend="cpu")(jax.random.PRNGKey(0))
+        variables = jax.device_put(variables, jax.devices()[0])
+
+        @jax.jit
+        def step(v, img1, img2, img2r, depth1, mask, sflow1):
+            return model.apply(v, img1, img2, K, jnp.ones((1,)), depth1,
+                               img2r, mask, mask, sflow1,
+                               method=PoseNet.infer)
+
+        mk = lambda i: (variables, rand(3 * i, (1, H, W, 3), 255),
+                        rand(3 * i + 1, (1, H, W, 3), 255),
+                        rand(3 * i + 2, (1, H, W, 3), 255),
+                        jnp.full((1, H, W, 1), 0.5),
+                        jnp.ones((1, H, W, 1), bool),
+                        jnp.full((1, H, W, 2), -16.0))
+        timed(step, mk, n, "track step (infer, lbgfs_iters=100)")
+
+
+if __name__ == "__main__":
+    main()

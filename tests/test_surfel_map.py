@@ -143,6 +143,30 @@ def test_render_winner_exact_confidence():
     np.testing.assert_allclose(px2, [255.0, 0.0, 0.0], atol=1e-3)
 
 
+def test_wrapper_initial_bucket_presizes_pool():
+    """slam.initial_bucket pre-sizes the slot pool (skips growth recompiles
+    on sequences with a known surfel budget) but stays clamped to
+    map_capacity and floored at one frame."""
+    from robust_pose_tpu.slam.surfel_map import SurfelMap
+
+    f = _frame(jax.random.PRNGKey(0), depth_val=100.0)
+    sm = SurfelMap(f, _kmat(), config={"initial_bucket": 3 * N},
+                   capacity=4 * N)
+    assert sm.cfg.capacity == 3 * N
+    # clamped to the hard capacity
+    sm2 = SurfelMap(f, _kmat(), config={"initial_bucket": 9 * N},
+                    capacity=4 * N)
+    assert sm2.cfg.capacity == 4 * N
+    # floored at one frame (the first frame IS the map)
+    sm3 = SurfelMap(f, _kmat(), config={"initial_bucket": N // 2},
+                    capacity=4 * N)
+    assert sm3.cfg.capacity == N
+    # pre-sized pool behaves identically: same-view fuse matches all surfels
+    st2 = sm.state
+    sm.fuse(f, np.array([0, 0, 0, 0, 0, 0, 1.0], np.float32))
+    assert int(jnp.sum(sm.state.active)) == N
+
+
 def test_fuse_upscale_matches_base_behavior():
     """upscale=2 (reference surfel_map.py:24,86-93): same-view fusion must
     still match every surfel on the supersampled grid (no spurious appends)
