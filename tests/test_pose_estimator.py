@@ -110,6 +110,45 @@ def test_track_window_matches_per_frame(checkpoint):
     assert np.asarray(succ).shape == (4,)
 
 
+def test_track_window_matches_per_frame_f2m(checkpoint):
+    """f2m windowed streaming (surfel pool as a scan carry) must produce the
+    same pose chain AND the same surfel map as per-frame f2m tracking."""
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    mask = np.ones((1, 1, H, W), bool)
+    frames = _frames(5)
+    cfg = dict(_slam_cfg(False), map_capacity=8 * H * W)
+
+    est_a = PoseEstimator(cfg, K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    poses_ref = []
+    for limg, rimg in frames:
+        pose, *_ = est_a(limg, rimg, mask)
+        poses_ref.append(np.asarray(pose[0]))
+
+    est_b = PoseEstimator(cfg, K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    est_b(*frames[0], mask)
+    limgs = np.stack([f[0] for f in frames[1:]])
+    rimgs = np.stack([f[1] for f in frames[1:]])
+    masks = np.stack([mask] * 4)
+    poses_w, succ = est_b.track_window(limgs, rimgs, masks)
+    poses_w = np.asarray(poses_w)
+
+    for i in range(4):
+        np.testing.assert_allclose(poses_w[i, 0], poses_ref[i + 1],
+                                   rtol=1e-4, atol=1e-5)
+    # the surfel maps must agree: same live count, same active prefix stats
+    na, nb = est_a.scene.n_active, est_b.scene.n_active
+    assert na == nb, (na, nb)
+    sa, sb = est_a.scene.state, est_b.scene.state
+    np.testing.assert_allclose(np.asarray(jnp.sum(sa.conf)),
+                               np.asarray(jnp.sum(sb.conf)), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(jnp.where(sa.active[:, None], sa.opts, 0.0), 0)),
+        np.asarray(jnp.sum(jnp.where(sb.active[:, None], sb.opts, 0.0), 0)),
+        rtol=1e-3)
+
+
 def test_init_pose_offset(checkpoint):
     K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
     init = np.array([5.0, -3.0, 2.0, 0, 0, 0, 1.0], np.float32)

@@ -94,6 +94,42 @@ def test_grad_norm_nonzero(trainer_and_state):
     assert float(metrics["train/grad_norm"]) > 0.0
 
 
+def test_grad_accum_matches_single_pass():
+    """train.grad_accum=2 (microbatched lax.scan, summed grads) must produce
+    the same parameter update as the single-pass step — it exists purely to
+    cut activation memory (the production 512x640 batch-8 step sits 250 MB
+    under one v5e's HBM without it; see scripts/bench_train_step.py).
+
+    Uses the ``small`` model variant: it has no BatchNorm, so the step is
+    bitwise microbatch-invariant. (The large variant's cnet BatchNorm sees
+    per-microbatch statistics under accumulation — the same semantics as
+    one reference DataParallel replica, train_posenet.py:77-79.)"""
+    import copy
+
+    mesh = make_mesh(8)
+    states, metrics = [], []
+    for accum in (1, 2):
+        cfg = copy.deepcopy(CONFIG)
+        cfg["model"]["small"] = True
+        cfg["train"]["grad_accum"] = accum
+        tr = PoseNetTrainer(cfg, mesh=mesh)
+        st = tr.init_state(jax.random.PRNGKey(0))
+        st.params["flow"]["update"]["update_block"]["flow_head"]["conv2"][
+            "bias"] = jnp.array([-2.5, 0.0])
+        batch = _batch(jax.random.PRNGKey(7))
+        s, m = tr.make_train_step()(st, shard_batch(mesh, batch))
+        states.append(s)
+        metrics.append(m)
+    (m1, m2), (s1, s2) = metrics, states
+    np.testing.assert_allclose(float(m1["train/loss_total"]),
+                               float(m2["train/loss_total"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["train/grad_norm"]),
+                               float(m2["train/grad_norm"]), rtol=1e-3)
+    lw1 = np.asarray(s1.params["loss_weight"])
+    lw2 = np.asarray(s2.params["loss_weight"])
+    np.testing.assert_allclose(lw1, lw2, rtol=1e-4, atol=1e-7)
+
+
 def test_train_state_checkpoint_roundtrip(trainer_and_state, tmp_path):
     from robust_pose_tpu.utils.checkpoints import (
         load_train_state,
