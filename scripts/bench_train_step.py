@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
+from functools import partial
 
 H, W = 512, 640
 
@@ -42,7 +43,13 @@ def build(batch, remat, accum=1):
     return trainer, state
 
 
+@partial(jax.jit, static_argnums=0)
 def make_batch(batch, key=1):
+    # generated ON DEVICE: a staged 377 MB f32 batch would otherwise ride
+    # the axon tunnel per step and swamp the measurement (~23 s/step of
+    # host->device upload vs 2.3 s of device compute, profiled). Real
+    # training overlaps the upload with compute via
+    # data/dataset_utils.prefetch_iterator (scripts/train_posenet.py).
     ks = jax.random.split(jax.random.PRNGKey(key), 4)
     imgs = [255.0 * jax.random.uniform(k, (batch, 3, H, W)) for k in ks]
     mask = jnp.ones((batch, 1, H, W), bool)
@@ -116,14 +123,20 @@ def main():
     # the XLA TPU compiler refuses outright at compile time when a program
     # exceeds HBM (see the no-remat branch) — compile success means it fits
 
+    # two distinct on-device batches, alternated (state changes per step, so
+    # no two executions are byte-identical); keeping only two bounds the
+    # resident batch memory next to the step's 13-15 GiB peak
     batches = [jax.block_until_ready(shard_batch(trainer.mesh,
                                                  make_batch(args.batch, k)))
-               for k in range(2, 2 + args.steps)]
-    state, metrics = compiled(state, batches[0])   # warm the donation path
-    jax.block_until_ready(state.params)
+               for k in (2, 3)]
+    state, metrics = compiled(state, batches[0])   # warmup
+    # forced host readback: on the axon tunnel block_until_ready can return
+    # before remote execution completes (the first execution of a fresh
+    # executable takes ~3 min of program load); fetching a value cannot
+    _ = float(metrics["train/loss_total"])
     t0 = time.perf_counter()
-    for b in batches:
-        state, metrics = compiled(state, b)
+    for i in range(args.steps):
+        state, metrics = compiled(state, batches[i % 2])
     _ = float(metrics["train/loss_total"])  # forced host readback
     dt = (time.perf_counter() - t0) / args.steps
     print(f"train step batch {args.batch} accum {args.accum} @ {H}x{W} (remat): "

@@ -26,11 +26,15 @@ N = H * W
 def timed(fn, make_inputs, n=8, name=""):
     batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
     out = fn(*batches[-1])
-    jax.block_until_ready(out)
+    # forced readback: on the axon tunnel block_until_ready can return
+    # before the first execution of a fresh executable completes (program
+    # load takes seconds-to-minutes); fetching bytes cannot
+    import numpy as _np
+    _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for i in range(n):
         out = fn(*batches[i])
-    jax.block_until_ready(out)
+    _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / n * 1000.0
     print(f"{name:44s} {dt:8.2f} ms", flush=True)
     return dt

@@ -28,11 +28,14 @@ def timed(fn, make_inputs, n=8, name=""):
     """Pipelined timing: dispatch all, block on last output."""
     batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
     out = fn(*batches[-1])          # compile
-    jax.block_until_ready(out)
+    # forced readback (axon tunnel: block_until_ready can return before the
+    # first execution of a fresh executable completes; fetching bytes cannot)
+    import numpy as _np
+    _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     t0 = time.perf_counter()
     for i in range(n):
         out = fn(*batches[i])
-    jax.block_until_ready(out)
+    _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / n * 1000.0
     print(f"{name:36s} {dt:8.2f} ms")
     return dt
