@@ -28,11 +28,15 @@ Array = jax.Array
 
 def _resize_eighth(x: Array) -> Array:
     """F.interpolate(scale_factor=0.125, mode='bilinear') analogue
-    (reference core/pose/pose_net.py:110-113). NHWC."""
-    b, h, w, c = x.shape
-    return jax.image.resize(
-        x, (b, h // 8, w // 8, c), method="linear", antialias=False
-    )
+    (reference core/pose/pose_net.py:110-113). NHWC.
+
+    The half-pixel-centers 1/8 bilinear downsample reads only rows/cols
+    {8i+3, 8i+4} with 0.5/0.5 weights (see ops/warp.warp_then_eighth), so it
+    is computed by its exact tap decomposition — 1/16 of the input bytes vs
+    a generic resize."""
+    from robust_pose_tpu.ops.warp import eighth_from_fullres_warp
+
+    return eighth_from_fullres_warp(x)
 
 
 class PoseNetOutputs(NamedTuple):

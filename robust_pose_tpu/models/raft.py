@@ -25,7 +25,7 @@ TPU-first design choices:
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -173,9 +173,47 @@ class BasicMotionEncoder(nn.Module):
         return jnp.concatenate([out, flow.astype(out.dtype)], axis=-1)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv``: declares an identical
+    (kh, kw, Cin, Cout) kernel + (Cout,) bias under the same child-module
+    path, but lets the caller run the convolution itself (e.g. fused with a
+    sibling conv over the same input). Checkpoints are interchangeable with
+    ``nn.Conv``."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class SepConvGRU(nn.Module):
     hidden_dim: int = HDIM
     dtype: Any = jnp.float32
+
+    def _zr(self, hx, ksize, pad, zname, rname):
+        """z and r gates share the input ``hx``: run them as ONE conv with
+        the kernels concatenated along the output channels (the separate-
+        conv formulation reads the same ~26 MB im2col stream from HBM
+        twice per pass; mathematically identical per output channel)."""
+        d = self.hidden_dim
+        cin = hx.shape[-1]
+        kz, bz = _ConvParams(d, ksize, cin, name=zname)()
+        kr, br = _ConvParams(d, ksize, cin, name=rname)()
+        dt = self.dtype
+        out = jax.lax.conv_general_dilated(
+            hx.astype(dt), jnp.concatenate([kz, kr], axis=-1).astype(dt),
+            window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate([bz, br]).astype(dt)
+        return nn.sigmoid(out[..., :d]), nn.sigmoid(out[..., d:])
 
     @nn.compact
     def __call__(self, h, x):
@@ -184,15 +222,13 @@ class SepConvGRU(nn.Module):
         x = x.astype(dt)
         # horizontal pass (1x5)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convz1")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convr1")(hx))
+        z, r = self._zr(hx, (1, 5), [(0, 0), (2, 2)], "convz1", "convr1")
         q = nn.tanh(nn.Conv(self.hidden_dim, (1, 5), padding=(0, 2), dtype=dt, name="convq1")(
             jnp.concatenate([r * h, x], axis=-1)))
         h = (1 - z) * h + z * q
         # vertical pass (5x1)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convz2")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convr2")(hx))
+        z, r = self._zr(hx, (5, 1), [(2, 2), (0, 0)], "convz2", "convr2")
         q = nn.tanh(nn.Conv(self.hidden_dim, (5, 1), padding=(2, 0), dtype=dt, name="convq2")(
             jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q
@@ -223,11 +259,27 @@ class BasicUpdateBlock(nn.Module):
         net = SepConvGRU(dtype=dt, name="gru")(
             net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
         delta_flow = FlowHead(dtype=dt, name="flow_head")(net)
-        m = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=dt,
-                            name="mask_conv1")(net))
-        up_mask = 0.25 * nn.Conv(64 * 9, (1, 1), dtype=jnp.float32,
-                                 name="mask_conv2")(m.astype(jnp.float32))
-        return net, up_mask, delta_flow
+        return net, delta_flow
+
+
+class UpMaskHead(nn.Module):
+    """Convex-upsampling mask head (upstream RAFT's ``self.mask``).
+
+    Lives OUTSIDE the scanned GRU step: only the final iteration's mask is
+    ever consumed (every reference consumer takes ``flow_predictions[-1]`` —
+    core/pose/pose_net.py:48,66-67,129), so computing it per iteration and
+    threading the (B, H/8, W/8, 576) f32 logits through the scan carry is
+    pure waste (~280 MB of carry HBM traffic + 11 redundant conv pairs per
+    RAFT pass). Applying it once to the final hidden state is exact."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, net):
+        m = nn.relu(nn.Conv(256, (3, 3), padding=1, dtype=self.dtype,
+                            name="mask_conv1")(net.astype(self.dtype)))
+        return 0.25 * nn.Conv(64 * 9, (1, 1), dtype=jnp.float32,
+                              name="mask_conv2")(m.astype(jnp.float32))
 
 
 class SmallEncoder(nn.Module):
@@ -295,10 +347,15 @@ class ConvGRU(nn.Module):
         h = h.astype(dt)
         x = x.astype(dt)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
-                               name="convz")(hx))
-        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
-                               name="convr")(hx))
+        d = self.hidden_dim
+        kz, bz = _ConvParams(d, (3, 3), hx.shape[-1], name="convz")()
+        kr, br = _ConvParams(d, (3, 3), hx.shape[-1], name="convr")()
+        zr = jax.lax.conv_general_dilated(
+            hx, jnp.concatenate([kz, kr], axis=-1).astype(dt),
+            window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.concatenate([bz, br]).astype(dt)
+        z, r = nn.sigmoid(zr[..., :d]), nn.sigmoid(zr[..., d:])
         q = nn.tanh(nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=dt,
                             name="convq")(jnp.concatenate([r * h, x], axis=-1)))
         return (1 - z) * h + z * q
@@ -320,7 +377,7 @@ class SmallUpdateBlock(nn.Module):
         net = ConvGRU(hidden_dim=96, dtype=dt, name="gru")(
             net, jnp.concatenate([inp.astype(dt), motion], axis=-1))
         delta_flow = FlowHead(dtype=dt, name="flow_head")(net)
-        return net, None, delta_flow
+        return net, delta_flow
 
 
 # ---------------------------------------------------------------------------
@@ -550,11 +607,9 @@ class _UpdateStep(nn.Module):
                                radius=radius)
         flow = carry["coords1"] - coords0
         block = SmallUpdateBlock if self.small else BasicUpdateBlock
-        net, up_mask, delta = block(dtype=self.dtype, name="update_block")(
+        net, delta = block(dtype=self.dtype, name="update_block")(
             carry["net"], inp, corr, flow
         )
-        if up_mask is not None:
-            carry = dict(carry, up_mask=up_mask)
         carry = dict(carry, net=net, coords1=carry["coords1"] + delta)
         return carry, None
 
@@ -618,6 +673,9 @@ class RAFT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             length=self.iters,
         )(dtype=self.dtype, small=self.small, lookup=self._resolve_lookup())
+        if not self.small:
+            # applied ONCE to the final hidden state (see UpMaskHead)
+            self.up_mask = UpMaskHead(dtype=self.dtype)
 
     # ------------------------------------------------------------------
     # public sub-stages: feature encoding is exposed separately so callers
@@ -674,7 +732,6 @@ class RAFT(nn.Module):
         carry0 = {
             "net": net.astype(self.dtype),
             "coords1": coords0,
-            "up_mask": jnp.zeros((b, h8, w8, 64 * 9), dtype=jnp.float32),
         }
 
         # recurrent update iterations as one compiled scan (hot loop A,
@@ -688,7 +745,7 @@ class RAFT(nn.Module):
             flow_up = 8.0 * jax.image.resize(
                 flow8, (b, h, w, 2), method="linear", antialias=False)
         else:
-            flow_up = upsample_flow_convex(flow8, carry["up_mask"])
+            flow_up = upsample_flow_convex(flow8, self.up_mask(carry["net"]))
         return (flow_up, carry["net"].astype(jnp.float32),
                 inp.astype(jnp.float32))
 

@@ -69,6 +69,7 @@ class PoseEstimator:
         self.frame: Optional[Frame] = None
         self.scene = None
         self._feats = None  # reference-image encoder cache (f2f streaming)
+        self._model_frame = None  # carried f2m reference rendering
 
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
@@ -118,25 +119,29 @@ class PoseEstimator:
         return new_pose, frame, out, success
 
     def _f2m_body(self, cfg):
-        """Raw fused frame-to-model step: transform + render + track +
-        conditional fuse in ONE compiled region (the reference composes
-        four separate calls plus a host sync — pose_estimator.py:127-144).
+        """Raw fused frame-to-model step: track against the CARRIED model
+        frame, then fuse + render-the-next-reference in ONE pool pass
+        (the reference composes transform_cpy + render + infer + fuse with
+        a host sync between each — pose_estimator.py:127-144).
+
+        The model frame rides the carry: the render the reference performs
+        at the START of step t+1 (extrinsics inv(last_pose), i.e. the pose
+        solved at step t) is exactly computable at the END of step t — and
+        with ``average_pts`` off it shares the fuse's own full-pool
+        projection (``surfel_fuse_render``). On a failed frame the pool and
+        pose are unchanged, so the carried rendering is reused outright.
         Built per surfel-capacity bucket (cfg is closed over)."""
         from robust_pose_tpu.slam.surfel_map import (
             surfel_fuse,
+            surfel_fuse_render,
             surfel_render,
         )
 
         kmat = self.intrinsics[0]
+        merged = (not cfg.average_pts) and cfg.upscale == 1
 
-        def step(variables, last_pose, state, prev_rimg, limg, rimg, mask):
-            # transform+render folded: rendering with extrinsics
-            # T = pmat o last_pose^-1 equals transforming every surfel by
-            # last_pose^-1 first (reference transform_cpy + render,
-            # pose_estimator.py:127-133) without rewriting the whole pool
-            model_frame = surfel_render(
-                state, kmat, cfg,
-                extrinsics=se3.mul(state.pmat, se3.inv(last_pose[0])))
+        def step(variables, last_pose, state, model_frame, prev_rimg, limg,
+                 rimg, mask):
             reference_frame = model_frame.replace(
                 rimg=prev_rimg,
                 flow=jnp.zeros_like(model_frame.flow),
@@ -144,13 +149,25 @@ class PoseEstimator:
             new_pose, frame, out, success = self._track_step(
                 variables, last_pose, reference_frame, limg, rimg, mask
             )
-            new_state = jax.lax.cond(
-                success,
-                lambda s: surfel_fuse(s, frame, new_pose[0], kmat, cfg),
-                lambda s: s,
-                state,
-            )
-            return new_pose, frame, out, success, new_state, model_frame
+            if merged:
+                new_state, new_mf = jax.lax.cond(
+                    success,
+                    lambda s, mf: surfel_fuse_render(
+                        s, frame, new_pose[0], kmat, cfg),
+                    lambda s, mf: (s, mf),
+                    state, model_frame,
+                )
+            else:
+                new_state = jax.lax.cond(
+                    success,
+                    lambda s: surfel_fuse(s, frame, new_pose[0], kmat, cfg),
+                    lambda s: s,
+                    state,
+                )
+                new_mf = surfel_render(
+                    new_state, kmat, cfg, extrinsics=se3.inv(new_pose[0]))
+            return (new_pose, frame, out, success, new_state, new_mf,
+                    model_frame)
 
         return step
 
@@ -160,25 +177,26 @@ class PoseEstimator:
         return self._f2m_steps[cfg]
 
     def _get_f2m_window(self, cfg):
-        """Jitted f2m window: scan the fused render+track+fuse step over T
-        frames with (pose, surfel state, frame) as carries — f2m streaming
-        with no per-frame host round-trips."""
+        """Jitted f2m window: scan the fused track+fuse+render step over T
+        frames with (pose, surfel state, frame, model frame) as carries —
+        f2m streaming with no per-frame host round-trips."""
         if cfg not in self._f2m_windows:
             body = self._f2m_body(cfg)
 
-            def window(variables, last_pose, state, prev_frame, limgs, rimgs,
-                       masks):
+            def window(variables, last_pose, state, prev_frame, model_frame,
+                       limgs, rimgs, masks):
                 def scan_body(carry, fr):
-                    pose, st, pframe = carry
+                    pose, st, pframe, mf = carry
                     limg, rimg, mask = fr
-                    new_pose, frame, out, success, st2, _ = body(
-                        variables, pose, st, pframe.rimg, limg, rimg, mask)
-                    return (new_pose, st2, frame), (new_pose, success)
+                    new_pose, frame, out, success, st2, mf2, _ = body(
+                        variables, pose, st, mf, pframe.rimg, limg, rimg,
+                        mask)
+                    return (new_pose, st2, frame, mf2), (new_pose, success)
 
-                (pose, st, frame), (poses, succ) = jax.lax.scan(
-                    scan_body, (last_pose, state, prev_frame),
+                (pose, st, frame, mf), (poses, succ) = jax.lax.scan(
+                    scan_body, (last_pose, state, prev_frame, model_frame),
                     (limgs, rimgs, masks))
-                return pose, st, frame, poses, succ
+                return pose, st, frame, mf, poses, succ
 
             self._f2m_windows[cfg] = jax.jit(window)
         return self._f2m_windows[cfg]
@@ -236,14 +254,17 @@ class PoseEstimator:
         """f2m windowed streaming with bucket maintenance: if the surfel pool
         overflowed its capacity bucket mid-window, grow it and re-run the
         (pure) window from the pre-window carries — lossless, exact."""
-        pre = (self.last_pose, self.scene.state, self.frame)
+        pre_mf = self._model_frame_f2m()
+        pre = (self.last_pose, self.scene.state, self.frame, pre_mf)
         result = {}
 
         def run(state, cfg):
             win = self._get_f2m_window(cfg)
-            (pose, st, frame, poses, succ) = win(
-                self.variables, pre[0], state, pre[2], limgs, rimgs, masks)
+            (pose, st, frame, mf, poses, succ) = win(
+                self.variables, pre[0], state, pre[2], pre[3], limgs, rimgs,
+                masks)
             self.last_pose, self.frame = pose, frame
+            self._model_frame = mf
             result["poses"], result["succ"] = poses, succ
             return st
 
@@ -252,6 +273,19 @@ class PoseEstimator:
         self.last_frame = self.frame
         self.success = result["succ"][-1]
         return result["poses"], result["succ"]
+
+    def _model_frame_f2m(self):
+        """The f2m reference rendering for the NEXT tracking step (carried
+        across steps; rendered fresh only when no carry exists yet — i.e.
+        right after scene init — or after pool maintenance invalidated it)."""
+        from robust_pose_tpu.slam.surfel_map import surfel_render
+
+        if self._model_frame is None:
+            render = jax.jit(surfel_render, static_argnums=2)
+            self._model_frame = render(
+                self.scene.state, self.intrinsics[0], self.scene.cfg,
+                se3.inv(self.last_pose[0]))
+        return self._model_frame
 
     # ------------------------------------------------------------------
     # host API
@@ -320,23 +354,39 @@ class PoseEstimator:
                 self.scene.fuse(frame, new_pose[0])
         else:
             # frame-to-model (reference pose_estimator.py:127-144
-            # ``get_pose_f2m``): render the reference view from the surfel
-            # map, track against it and fuse on success — ONE fused dispatch,
-            # no per-frame host sync
+            # ``get_pose_f2m``): track against the carried reference
+            # rendering, fuse on success and render the NEXT reference in
+            # the same dispatch — no per-frame host sync
             step = self._get_f2m_step(self.scene.cfg)
             prev_state = self.scene.state
-            (new_pose, frame, out, success, new_state,
+            prev_mf = self._model_frame_f2m()
+            (new_pose, frame, out, success, new_state, new_mf,
              model_frame) = step(
-                self.variables, self.last_pose, self.scene.state,
+                self.variables, self.last_pose, self.scene.state, prev_mf,
                 self.frame.rimg, limg, rimg, mask,
             )
             self.scene.state = new_state
+            self._model_frame = new_mf
+
             # bucket maintenance (pose is solved BEFORE the fuse, so an
-            # overflow redo only needs the fuse itself re-run)
-            self.scene.post_fuse(
-                prev_state,
-                lambda st, cfg: self.scene._fuse(
-                    st, frame, new_pose[0], self.scene.kmat, cfg))
+            # overflow redo only needs the fuse + next-reference render
+            # re-run)
+            def _redo(st, cfg):
+                from robust_pose_tpu.slam.surfel_map import surfel_fuse_render
+                merged = (not cfg.average_pts) and cfg.upscale == 1
+                if merged:
+                    st2, mf2 = jax.jit(
+                        surfel_fuse_render, static_argnums=4)(
+                        st, frame, new_pose[0], self.scene.kmat, cfg)
+                else:
+                    st2 = self.scene._fuse(
+                        st, frame, new_pose[0], self.scene.kmat, cfg)
+                    mf2 = self.scene._render(
+                        st2, self.scene.kmat, cfg, se3.inv(new_pose[0]))
+                self._model_frame = mf2
+                return st2
+
+            self.scene.post_fuse(prev_state, _redo)
             # keep the rendered model frame inspectable with its confidences
             self.last_frame = model_frame.replace(
                 rimg=self.frame.rimg, confidence=out.conf1)

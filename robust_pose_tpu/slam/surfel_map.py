@@ -43,7 +43,6 @@ import jax.numpy as jnp
 
 from robust_pose_tpu import se3
 from robust_pose_tpu.ops.geometry import create_img_coords, project2image
-from robust_pose_tpu.ops.interpolation import sparse_img_interpolate
 from robust_pose_tpu.slam.frame import Frame, make_frame
 
 Array = jax.Array
@@ -171,12 +170,12 @@ def surfel_compact(state: SurfelState, cfg: SurfelConfig) -> SurfelState:
     )
 
 
-def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
-                cfg: SurfelConfig) -> SurfelState:
-    """Fuse one frame into the map (reference surfel_map.py:73-148).
-
-    :param pose: (7,) camera-to-world pose of the frame
-    """
+def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
+               cfg: SurfelConfig):
+    """Shared fuse body; returns (new_state, aux) where aux carries the
+    pool projection and append-block bookkeeping so ``surfel_fuse_render``
+    can reuse them for the next frame's rendering (same transform, same
+    points when ``average_pts`` is off)."""
     h, w = cfg.img_shape
     n = h * w
     u = cfg.upscale
@@ -294,8 +293,108 @@ def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
 
     n_dropped = state.n_dropped + (n_new - n_placed)
     hi = hi0 + n_placed
-    return SurfelState(opts, rgb, conf, t_created, active, tick, state.pmat,
-                       n_dropped, hi)
+    new_state = SurfelState(opts, rgb, conf, t_created, active, tick,
+                            state.pmat, n_dropped, hi)
+    aux = dict(ipts=ipts, inb=inb[0], src=src, blk_active=blk_active,
+               hi0=hi0, u=u)
+    return new_state, aux
+
+
+def surfel_fuse(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
+                cfg: SurfelConfig) -> SurfelState:
+    """Fuse one frame into the map (reference surfel_map.py:73-148).
+
+    :param pose: (7,) camera-to-world pose of the frame
+    """
+    new_state, _ = _fuse_core(state, frame, pose, kmat, cfg)
+    return new_state
+
+
+def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
+                       kmat: Array, cfg: SurfelConfig
+                       ) -> Tuple[SurfelState, Frame]:
+    """Fuse one frame AND render the post-fuse map at ``inv(pose)`` — the
+    exact reference view the NEXT frame-to-model step tracks against
+    (reference get_pose_f2m: transform_cpy(last_pose.inv()) + render,
+    pose_estimator.py:127-133, where last_pose is this frame's ``pose``).
+
+    With ``average_pts`` off (the production SCARED config,
+    configuration/infer_scared.yaml) fuse does not move existing points, so
+    the render can REUSE the fuse's own pool projection (same points, same
+    transform) instead of paying a second full-pool projection pass; the
+    appended block's projections are analytic (each new point projects back
+    to its own source pixel). Requires cfg.average_pts == False and
+    cfg.upscale == 1; bit-identical to ``surfel_render(surfel_fuse(...))``.
+    """
+    assert not cfg.average_pts and cfg.upscale == 1, (
+        "surfel_fuse_render requires average_pts=False, upscale=1")
+    h, w = cfg.img_shape
+    n = h * w
+    new_state, aux = _fuse_core(state, frame, pose, kmat, cfg)
+    alloc = new_state.opts.shape[0]
+    slot_ids = jnp.arange(alloc, dtype=jnp.int32)
+
+    # pool-slot candidates: the fuse's projection at inv(pose) IS the render
+    # projection (surfel_render quantization: floor to pixel, n -> dropped)
+    ipts = aux["ipts"]
+    # post-fuse active/conf for slots BELOW the append mark; appended rows
+    # are handled separately (their projections are analytic)
+    below = slot_ids < aux["hi0"]
+    valid = aux["inb"] & new_state.active & below
+    px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
+    py = jnp.clip(ipts[:, 1].astype(jnp.int32), 0, h - 1)
+    pix = jnp.where(valid, py * w + px, n)
+
+    slot_bits = max(int(alloc - 1).bit_length(), 1)
+    conf_bits = 31 - slot_bits
+    qmax = (1 << conf_bits) - 1
+
+    def pack(conf_v, ids, ok):
+        q = jnp.clip((conf_v * qmax).astype(jnp.int32), 0, qmax)
+        return jnp.where(ok, (q << slot_bits) | ids, -1)
+
+    if cfg.exact_render or slot_bits > 23:
+        # exact two-pass winner over the union of pool + appended candidates
+        blk_ids = aux["hi0"] + jnp.arange(n, dtype=jnp.int32)
+        blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
+        conf_max = jnp.full((n,), -jnp.inf).at[pix].max(
+            new_state.conf, mode="drop")
+        conf_max = conf_max.at[blk_pix].max(
+            new_state.conf[jnp.clip(blk_ids, 0, alloc - 1)], mode="drop")
+        pixc = jnp.clip(pix, 0, n - 1)
+        is_max = valid & (new_state.conf == conf_max[pixc])
+        cand = jnp.where(is_max, slot_ids, -1)
+        slot_img = jnp.full((n,), -1, jnp.int32).at[pix].max(cand, mode="drop")
+        bpixc = jnp.clip(blk_pix, 0, n - 1)
+        bconf = new_state.conf[jnp.clip(blk_ids, 0, alloc - 1)]
+        bis_max = aux["blk_active"] & (bconf == conf_max[bpixc])
+        bcand = jnp.where(bis_max, blk_ids, -1)
+        slot_img = slot_img.at[blk_pix].max(bcand, mode="drop")
+    else:
+        key = pack(new_state.conf, slot_ids, valid)
+        kmax = jnp.full((n,), -1, jnp.int32).at[pix].max(key, mode="drop")
+        # appended block: row j landed at slot hi0+j and projects back to its
+        # own source pixel src-inverse; blk row j's pixel is the j-th placed
+        # new point's pixel = aux['src'][j]
+        blk_ids = aux["hi0"] + jnp.arange(n, dtype=jnp.int32)
+        blk_conf = new_state.conf[jnp.clip(blk_ids, 0, alloc - 1)]
+        blk_key = pack(blk_conf, blk_ids, aux["blk_active"])
+        blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
+        kmax = kmax.at[blk_pix].max(blk_key, mode="drop")
+        slot_img = jnp.where(kmax >= 0, kmax & ((1 << slot_bits) - 1), -1)
+
+    have = slot_img >= 0
+    sl = jnp.clip(slot_img, 0, alloc - 1)
+    conf_img = jnp.where(have, new_state.conf[sl], 0.0)
+    T = se3.inv(pose)
+    zcam = se3.act(T[None], new_state.opts[sl])[:, 2]
+    depth_img = jnp.where(have, zcam, 0.0)
+    rgb_img = jnp.where(have[:, None], new_state.rgb[sl], 0.0)
+    model_frame = make_frame(
+        rgb_img.reshape(1, h, w, 3), depth=depth_img.reshape(1, h, w, 1),
+        mask=have.reshape(1, h, w, 1),
+        confidence=conf_img.reshape(1, h, w, 1))
+    return new_state, model_frame
 
 
 def surfel_transform(state: SurfelState, tr: Array) -> SurfelState:
@@ -360,8 +459,14 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
     rgb_img = jnp.where(have[:, None], state.rgb[sl], 0.0)
 
     mask = have.reshape(1, h, w, 1)
-    depth = sparse_img_interpolate(depth_img.reshape(1, h, w, 1))
-    colors = sparse_img_interpolate(rgb_img.reshape(1, h, w, 3))
+    # NOTE the reference pipes depth/colors through SparseImgInterpolator
+    # here (surfel_map.py:256,262) — but it zero-fills the splat images and
+    # the interpolator only replaces NaN pixels (sparse_img_interpolation.py
+    # :25-31), so the inpainting is a no-op on this path. Reproducing the
+    # quirk exactly means NOT paying the 5x5 depthwise conv: holes stay 0
+    # and ``mask`` carries validity, identical to the reference output.
+    depth = depth_img.reshape(1, h, w, 1)
+    colors = rgb_img.reshape(1, h, w, 3)
     return make_frame(colors, depth=depth, mask=mask,
                       confidence=conf_img.reshape(1, h, w, 1))
 
@@ -499,9 +604,14 @@ class SurfelMap:
         return self._render(self.state, kmat, self.cfg, ex)
 
     def transform_cpy(self, tr) -> "SurfelMap":
+        """Transformed copy. The reference's copy is rebuilt WITHOUT pmat, so
+        its extrinsics reset to identity (surfel_map.py:216-219 ->
+        _constructor without ``pmat``); a subsequent ``render()`` therefore
+        projects the transformed points directly — preserved here."""
         import copy
         new = copy.copy(self)
         new.state = self._transform(self.state, jnp.asarray(tr).reshape(7))
+        new.state = new.state._replace(pmat=se3.identity(()))
         return new
 
     @property

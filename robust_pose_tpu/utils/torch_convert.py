@@ -110,9 +110,6 @@ def _convert_update_block(params, sd, tpre: str, jpre: str):
         _convert_conv(params, sd, f"{tpre}.gru.{name}", f"{jpre}/gru/{name}")
     _convert_conv(params, sd, f"{tpre}.flow_head.conv1", f"{jpre}/flow_head/conv1")
     _convert_conv(params, sd, f"{tpre}.flow_head.conv2", f"{jpre}/flow_head/conv2")
-    # torch: self.mask = Sequential(Conv3x3, ReLU, Conv1x1)
-    _convert_conv(params, sd, f"{tpre}.mask.0", f"{jpre}/mask_conv1")
-    _convert_conv(params, sd, f"{tpre}.mask.2", f"{jpre}/mask_conv2")
 
 
 def convert_raft_state_dict(sd: Dict[str, Any]):
@@ -124,6 +121,11 @@ def convert_raft_state_dict(sd: Dict[str, Any]):
     _convert_encoder(params, stats, sd, "fnet", "fnet", norm="instance")
     _convert_encoder(params, stats, sd, "cnet", "cnet", norm="batch")
     _convert_update_block(params, sd, "update_block", "update/update_block")
+    # torch: update_block.mask = Sequential(Conv3x3, ReLU, Conv1x1); lives
+    # OUTSIDE the scanned step here (models/raft.py UpMaskHead — only the
+    # final iteration's mask is ever consumed)
+    _convert_conv(params, sd, "update_block.mask.0", "up_mask/mask_conv1")
+    _convert_conv(params, sd, "update_block.mask.2", "up_mask/mask_conv2")
     return params, stats
 
 

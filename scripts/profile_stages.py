@@ -175,8 +175,8 @@ def main():
         @jax.jit
         def gru12(v, net, inp, corr_parts, flow):
             def body(c, _):
-                net, up_mask, dflow = blk.apply(v, c["net"], inp, corr_parts,
-                                                flow + c["f"])
+                net, dflow = blk.apply(v, c["net"], inp, corr_parts,
+                                       flow + c["f"])
                 return dict(net=net, f=c["f"] + dflow), None
             c, _ = jax.lax.scan(body, dict(net=net, f=jnp.zeros_like(flow)),
                                 None, length=12)

@@ -159,3 +159,29 @@ def test_init_pose_offset(checkpoint):
     (limg, rimg), *_ = _frames(1)
     pose, *_ = est(limg, rimg, mask)
     np.testing.assert_allclose(np.asarray(pose[0]), init, atol=1e-6)
+
+
+def test_f2m_world_frame_invariance(checkpoint):
+    """f2m tracking must be invariant to the world-frame choice: with a
+    non-identity init pose P, every absolute pose must equal P o pose_ident
+    (the reference achieves this because transform_cpy resets the copy's
+    extrinsics to identity — surfel_map.py:216-219 — so the f2m rendering
+    depends only on inv(last_pose), not on pmat)."""
+    from robust_pose_tpu import se3
+
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    P = np.asarray(se3.exp(jnp.asarray([5.0, -3.0, 2.0, 0.04, -0.06, 0.05])))
+    runs = {}
+    for name, init in (("ident", None), ("world", P)):
+        est = PoseEstimator(_slam_cfg(False), K, baseline=7500.0,
+                            checkpoint=checkpoint, img_shape=(W, H),
+                            init_pose=None if init is None else jnp.asarray(init))
+        mask = np.ones((1, 1, H, W), bool)
+        runs[name] = [np.asarray(est(l, r, mask)[0][0])
+                      for l, r in _frames(3)]
+    for p_i, p_w in zip(runs["ident"], runs["world"]):
+        expect = np.asarray(se3.mul(jnp.asarray(P)[None],
+                                    jnp.asarray(p_i)[None])[0])
+        got = p_w if np.dot(expect[3:], p_w[3:]) >= 0 else np.concatenate(
+            [p_w[:3], -p_w[3:]])
+        np.testing.assert_allclose(got, expect, atol=5e-3)

@@ -208,3 +208,74 @@ def test_wrapper_overflow_warns_and_bucket_grows():
     assert sm.cfg.capacity == 3 * N, "bucket must have grown to the cap"
     # pool bound respected
     assert int(jnp.sum(sm.state.active)) <= sm.cfg.capacity
+
+
+def test_transform_cpy_render_resets_extrinsics():
+    """transform_cpy must render with identity extrinsics (the reference
+    rebuilds the copy WITHOUT pmat — surfel_map.py:216-219 — so a subsequent
+    render projects the transformed points directly). A map created in a
+    non-identity world frame P, copied through inv(P), must render exactly
+    like a map created in the identity frame."""
+    from robust_pose_tpu.slam.surfel_map import SurfelMap
+
+    f = _frame(jax.random.PRNGKey(3), depth_val=120.0)
+    P = se3.exp(jnp.asarray([4.0, -2.0, 1.5, 0.05, -0.03, 0.02]))
+    m_world = SurfelMap(f, _kmat(), pmat=P)
+    m_ident = SurfelMap(f, _kmat())
+    r_world = m_world.transform_cpy(se3.inv(P)).render()
+    r_ident = m_ident.render()
+    np.testing.assert_allclose(np.asarray(r_world.depth),
+                               np.asarray(r_ident.depth), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(r_world.img),
+                               np.asarray(r_ident.img), atol=1e-2)
+
+
+def test_fuse_render_merged_matches_sequential():
+    """surfel_fuse_render must equal surfel_fuse followed by a fresh
+    surfel_render at inv(pose) — for both winner implementations."""
+    from robust_pose_tpu.slam.surfel_map import surfel_fuse_render
+
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 8)
+    cap = 3 * N
+    alloc = cap + N
+    # scene points in front of the camera, a partially full fragmented pool
+    pts = jax.random.uniform(ks[0], (alloc, 3))
+    z = 80.0 + 60.0 * pts[:, 2]
+    x = (pts[:, 0] - 0.5) * z * (W / 50.0)
+    y = (pts[:, 1] - 0.5) * z * (H / 50.0)
+    opts = jnp.stack([x, y, z], -1)
+    hi = int(1.5 * N)
+    active = (jnp.arange(alloc) < hi) & (jax.random.uniform(ks[1], (alloc,)) > 0.2)
+    pose = se3.exp(jnp.asarray([1.0, -0.5, 2.0, 0.02, -0.01, 0.03]))
+
+    from robust_pose_tpu.slam.surfel_map import SurfelState
+    base = SurfelState(
+        opts=se3.act(pose[None], opts),  # world frame at ``pose``-ish view
+        rgb=255.0 * jax.random.uniform(ks[2], (alloc, 3)),
+        conf=jax.random.uniform(ks[3], (alloc,)),
+        t_created=jnp.zeros((alloc,), jnp.int32),
+        active=active, tick=jnp.asarray(2, jnp.int32),
+        pmat=se3.identity(()),
+        n_dropped=jnp.zeros((), jnp.int32),
+        hi=jnp.asarray(hi, jnp.int32))
+    frame = make_frame(255.0 * jax.random.uniform(ks[4], (1, H, W, 3)),
+                       depth=90.0 + 40.0 * jax.random.uniform(ks[5], (1, H, W, 1)),
+                       mask=jax.random.uniform(ks[6], (1, H, W, 1)) > 0.1)
+
+    for exact in (False, True):
+        cfg = SurfelConfig(capacity=cap, img_shape=(H, W), d_thresh=50.0,
+                           average_pts=False, exact_render=exact)
+        st_seq = surfel_fuse(base, frame, pose, _kmat(), cfg)
+        mf_seq = surfel_render(st_seq, _kmat(), cfg, extrinsics=se3.inv(pose))
+        st_mrg, mf_mrg = surfel_fuse_render(base, frame, pose, _kmat(), cfg)
+        for a, b in zip(st_seq, st_mrg):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(mf_seq.depth),
+                                   np.asarray(mf_mrg.depth), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(mf_seq.mask),
+                                      np.asarray(mf_mrg.mask))
+        np.testing.assert_allclose(np.asarray(mf_seq.img),
+                                   np.asarray(mf_mrg.img), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(mf_seq.confidence),
+                                   np.asarray(mf_mrg.confidence), atol=1e-6)
