@@ -106,6 +106,39 @@ def main():
         timed(f, lambda i: (mk_state(i), mk_frame(i)), n,
               f"surfel_fuse (bucket {args.frames}xHW)")
 
+    if want("fuse_render"):
+        from robust_pose_tpu.slam.surfel_map import surfel_fuse_render
+        f = jax.jit(lambda st, fr: surfel_fuse_render(
+            st, fr, se3.identity(()), kmat, cfg))
+        timed(f, lambda i: (mk_state(i), mk_frame(i)), n,
+              f"surfel_fuse_render (merged, bucket {args.frames}xHW)")
+
+    if want("winner"):
+        # winner-selection strategies for the render splat: direct packed
+        # scatter-max vs sort-based segment winner (alloc updates -> N px)
+        def mk_pk(i):
+            pix = jax.random.randint(jax.random.PRNGKey(9 * i), (alloc,), 0,
+                                     N + 1, jnp.int32)
+            key = jax.random.randint(jax.random.PRNGKey(9 * i + 1), (alloc,),
+                                     0, 2 ** 30, jnp.int32)
+            return (pix, jnp.where(pix < N, key, -1))
+
+        @jax.jit
+        def direct(pix, key):
+            return jnp.full((N,), -1, jnp.int32).at[pix].max(key, mode="drop")
+
+        @jax.jit
+        def sorted_winner(pix, key):
+            ps, ks = jax.lax.sort((pix, key), num_keys=2)
+            is_last = jnp.concatenate(
+                [ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+            idx = jnp.where(is_last, ps, N)
+            return jnp.full((N,), -1, jnp.int32).at[idx].set(
+                ks, mode="drop", unique_indices=True)
+
+        timed(direct, mk_pk, n, f"winner: direct scatter-max ({args.frames}xHW)")
+        timed(sorted_winner, mk_pk, n, f"winner: sort+unique-set ({args.frames}xHW)")
+
     if want("track"):
         from robust_pose_tpu.models.posenet import PoseNet
         config = {"image_shape": (H, W), "iters": 12, "lbgfs_iters": 100,
