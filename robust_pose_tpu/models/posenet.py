@@ -232,6 +232,76 @@ class PoseNet(nn.Module):
         return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
                               time_flow, stereo_flow2, feats_out)
 
+    def infer_window(self, limgs, rimgs, masks, intrinsics, baseline,
+                     prev_img, prev_depth1, prev_mask, prev_stereo_flow,
+                     feats) -> "PoseNetOutputs":
+        """Fused inference over a WINDOW of T frames in one batched pass.
+
+        Frame-to-frame tracking has only one true sequential dependency —
+        the pose chain, a (T, 7) compose the caller performs afterwards.
+        The temporal flow (t-1 -> t) and stereo flow (t, t) depend on the
+        images alone, so the whole window runs as ONE RAFT pass at batch 2T
+        (encoders batched over the 2T unique images, a single 12-iteration
+        GRU scan) instead of T sequential batch-2 steps — identical math
+        (instance norm is per-sample; cnet BatchNorm runs on running stats),
+        far better MXU utilization at the 1/8-scale feature shape.
+
+        :param limgs/rimgs: (T, H, W, 3) window frames
+        :param masks: (T, H, W, 1) bool
+        :param prev_*: the carried reference-frame state (frame t-1 of the
+            first window element): image (1, H, W, 3), depth1 (1, H, W, 1)
+            ALREADY depth-scale-normalized, mask (1, H, W, 1),
+            stereo flow (1, H, W, 2)
+        :param feats: (fmap, net, inp) encoder cache of ``prev_img``
+        :return: PoseNetOutputs with leading dim T (pose (T, 7), depth2
+            (T, H, W, 1), ...); ``feats`` holds the LAST frame's cache
+        """
+        t = limgs.shape[0]
+        enc = self.flow_net.encode_fnet(
+            jnp.concatenate([limgs, rimgs], axis=0))
+        fl, fr = enc[:t], enc[t:]
+        net_u, inp_u = self.flow_net.encode_cnet(limgs)
+        pf, pnet, pinp = feats
+
+        # problem batch: T temporal pairs then T stereo pairs
+        fmap1 = jnp.concatenate([pf, fl[:-1], fl], axis=0)
+        fmap2 = jnp.concatenate([fl, fr], axis=0)
+        net0 = jnp.concatenate([pnet, net_u[:-1], net_u], axis=0)
+        inp0 = jnp.concatenate([pinp, inp_u[:-1], inp_u], axis=0)
+        flows, hidden, context = self.flow_net.flow_from_features(
+            fmap1, fmap2, net0, inp0)
+        time_flow, stereo_flow2 = flows[:t], flows[t:]
+        hidden, context = hidden[:t], context[:t]
+
+        bl = jnp.broadcast_to(baseline, (t,))
+        depth2, valid2 = self.disparity_to_depth(stereo_flow2, bl)
+        mask2 = masks & valid2
+
+        # per-problem reference quantities: frame t-1's (image, depth, mask,
+        # stereo flow) — the window inputs shifted by one, seeded by carry
+        image1l = jnp.concatenate([prev_img, limgs[:-1]], axis=0)
+        depth1 = jnp.concatenate([prev_depth1, depth2[:-1]], axis=0)
+        # the carried frame state stores the RAW input mask (reference
+        # get_pose_f2f updates depth/flow but not the mask)
+        mask1 = jnp.concatenate([prev_mask, masks[:-1]], axis=0)
+        stereo_flow1 = jnp.concatenate([prev_stereo_flow, stereo_flow2[:-1]],
+                                       axis=0)
+
+        K = jnp.broadcast_to(intrinsics, (t,) + intrinsics.shape[-2:])
+        pcl1 = depth_to_pcl(depth1, K, self._img_coords)
+        pcl2 = depth_to_pcl(depth2, K, self._img_coords)
+
+        conf1, conf2, pcl2_w, mask2_w = self.get_weight_maps(
+            pcl1, pcl2, image1l, limgs, mask2, time_flow,
+            stereo_flow1, stereo_flow2, hidden, context,
+        )
+        pose, pose_tan = self._solve(
+            time_flow, pcl1, pcl2_w, conf1, conf2, mask1, mask2_w, K
+        )
+        feats_out = (fl[-1:], net_u[-1:], inp_u[-1:])
+        return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
+                              time_flow, stereo_flow2, feats_out)
+
     # ------------------------------------------------------------------
     # training path (reference pose_net.py:29-58)
     # ------------------------------------------------------------------

@@ -203,20 +203,39 @@ class PoseEstimator:
 
     def _window_step(self, variables, last_pose, frame, feats, limgs, rimgs,
                      masks):
-        """Track T frames sequentially in ONE compiled dispatch (f2f): the
-        frame state, reference-feature cache and pose chain are scan
-        carries — steady-state device throughput with no per-frame host
-        round-trips (the streaming design bench.py measures)."""
-        def body(carry, fr):
-            pose, fr_state, fts = carry
-            limg, rimg, mask = fr
-            new_pose, new_frame, out, success = self._track_step(
-                variables, pose, fr_state, limg, rimg, mask, fts)
-            return (new_pose, new_frame, out.feats), (new_pose, success)
+        """Track T frames in ONE compiled dispatch (f2f).
 
-        (pose, fr_state, fts), (poses, succ) = jax.lax.scan(
-            body, (last_pose, frame, feats), (limgs, rimgs, masks))
-        return pose, fr_state, fts, poses, succ
+        The only sequential dependency in frame-to-frame tracking is the
+        pose chain (frame t's reference is always frame t-1, success or
+        not — reference pose_estimator.py:62-63 resets ``last_frame`` from
+        ``frame`` unconditionally), so the whole window runs as one
+        batch-2T RAFT pass + a batch-T solve (PoseNet.infer_window); only
+        the (T, 7) failure-checked pose compose is a scan. Identical math
+        to the per-frame step, far better MXU utilization."""
+        t = limgs.shape[0]
+        out = self.model.apply(
+            variables, limgs[:, 0], rimgs[:, 0], masks[:, 0],
+            self.intrinsics, self.baseline * self.scale,
+            frame.img, frame.depth * self.scale, frame.mask, frame.flow,
+            feats, method=PoseNet.infer_window)
+
+        rel = out.pose  # (T, 7)
+        bad = (jnp.any(~jnp.isfinite(rel), axis=-1)
+               | jnp.any(jnp.abs(se3.log(rel)) > 0.1, axis=-1))
+        rel = jnp.where(bad[:, None], se3.identity((t,)), rel)
+        success = ~bad
+        rel = se3.scale(rel, 1.0 / self.scale)
+
+        def chain(pose, r):
+            new = se3.normalize(se3.mul(pose, se3.inv(r[None])))
+            return new, new
+
+        pose, poses = jax.lax.scan(chain, last_pose, rel)
+
+        fr_state = make_frame(
+            limgs[-1], rimgs[-1], depth=out.depth2[-1:] / self.scale,
+            mask=masks[-1], flow=out.stereo_flow2[-1:])
+        return pose, fr_state, out.feats, poses, success
 
     def track_window(self, limgs, rimgs, masks):
         """Track a window of frames in one dispatch (streaming mode).
