@@ -303,6 +303,70 @@ class PoseNet(nn.Module):
                               time_flow, stereo_flow2, feats_out)
 
     # ------------------------------------------------------------------
+    # frame-to-model split (reference pose_net.py:60-85 semantics)
+    # ------------------------------------------------------------------
+
+    def f2m_precompute(self, limgs, rimgs, masks, baseline):
+        """Batched MAP-INDEPENDENT pre-pass for frame-to-model tracking.
+
+        In f2m (reference pose_estimator.py:127-144) frame t's reference is
+        a rendering of the fused map — truly sequential. But the stereo
+        branch (stereo flow -> depth -> validity) and the input frame's own
+        encoder features depend only on the camera images, so they run for
+        the whole window as ONE batched pass; the sequential scan keeps only
+        the rendered-reference encode + temporal GRU + solve + fuse.
+
+        :param limgs/rimgs: (T, H, W, 3); masks (T, H, W, 1) bool
+        :param baseline: (1,) pre-scaled stereo baseline
+        :return: (fmap_l, net_l, inp_l, stereo_flow2, depth2, mask2) with
+            leading dim T; depth2 normalized, mask2 = masks & stereo-valid
+        """
+        t = limgs.shape[0]
+        enc = self.flow_net.encode_fnet(
+            jnp.concatenate([limgs, rimgs], axis=0))
+        fl, fr = enc[:t], enc[t:]
+        net_u, inp_u = self.flow_net.encode_cnet(limgs)
+        stereo_flow2, _, _ = self.flow_net.flow_from_features(
+            fl, fr, net_u, inp_u)
+        bl = jnp.broadcast_to(baseline, (t,))
+        depth2, valid2 = self.disparity_to_depth(stereo_flow2, bl)
+        return fl, net_u, inp_u, stereo_flow2, depth2, masks & valid2
+
+    def f2m_track(self, ref_img, ref_depth1, ref_mask, ref_sflow1, limg,
+                  mask2, intrinsics, fmap_l, net_l, inp_l, stereo_flow2,
+                  depth2) -> "PoseNetOutputs":
+        """Sequential f2m tracking step against a rendered reference.
+
+        Consumes the per-frame slice of :meth:`f2m_precompute`; per step
+        only the reference rendering is encoded (fnet+cnet batch 1) and the
+        GRU runs the single temporal problem — identical math to
+        :meth:`infer` on (reference, frame) with the stereo quantities
+        precomputed.
+
+        :param ref_*: rendered model frame: image (1,H,W,3), depth1
+            (1,H,W,1) ALREADY depth-scale-normalized, mask (1,H,W,1),
+            stereo flow (zeros for a rendering — reference pose_net.py:75)
+        :param mask2/fmap_l/...: this frame's f2m_precompute slice (lead 1)
+        """
+        f1 = self.flow_net.encode_fnet(ref_img)
+        net1, inp1 = self.flow_net.encode_cnet(ref_img)
+        time_flow, hidden, context = self.flow_net.flow_from_features(
+            f1, fmap_l, net1, inp1)
+
+        pcl1 = depth_to_pcl(ref_depth1, intrinsics, self._img_coords)
+        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
+        conf1, conf2, pcl2_w, mask2_w = self.get_weight_maps(
+            pcl1, pcl2, ref_img, limg, mask2, time_flow,
+            ref_sflow1, stereo_flow2, hidden, context,
+        )
+        pose, pose_tan = self._solve(
+            time_flow, pcl1, pcl2_w, conf1, conf2, ref_mask, mask2_w,
+            intrinsics,
+        )
+        return PoseNetOutputs(pose, pose_tan, ref_depth1, depth2, conf1,
+                              conf2, time_flow, stereo_flow2, None)
+
+    # ------------------------------------------------------------------
     # training path (reference pose_net.py:29-58)
     # ------------------------------------------------------------------
 

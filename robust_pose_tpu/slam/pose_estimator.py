@@ -177,25 +177,76 @@ class PoseEstimator:
         return self._f2m_steps[cfg]
 
     def _get_f2m_window(self, cfg):
-        """Jitted f2m window: scan the fused track+fuse+render step over T
-        frames with (pose, surfel state, frame, model frame) as carries —
-        f2m streaming with no per-frame host round-trips."""
+        """Jitted f2m window: the map-independent work (input-frame encoders,
+        stereo flow -> depth) runs BATCHED over all T frames up front
+        (PoseNet.f2m_precompute); the lax.scan keeps only what truly depends
+        on the fused map — rendered-reference encode, temporal GRU, solve,
+        fuse+render — with (pose, surfel state, model frame) as carries.
+        Identical math to the per-frame f2m step (equivalence-tested)."""
         if cfg not in self._f2m_windows:
-            body = self._f2m_body(cfg)
+            from robust_pose_tpu.slam.surfel_map import (
+                surfel_fuse,
+                surfel_fuse_render,
+                surfel_render,
+            )
+
+            kmat = self.intrinsics[0]
+            merged = (not cfg.average_pts) and cfg.upscale == 1
 
             def window(variables, last_pose, state, prev_frame, model_frame,
                        limgs, rimgs, masks):
-                def scan_body(carry, fr):
-                    pose, st, pframe, mf = carry
-                    limg, rimg, mask = fr
-                    new_pose, frame, out, success, st2, mf2, _ = body(
-                        variables, pose, st, mf, pframe.rimg, limg, rimg,
-                        mask)
-                    return (new_pose, st2, frame, mf2), (new_pose, success)
+                pre = self.model.apply(
+                    variables, limgs[:, 0], rimgs[:, 0], masks[:, 0],
+                    self.baseline * self.scale,
+                    method=PoseNet.f2m_precompute)
+                fl, net_l, inp_l, sflow2, depth2, mask2 = pre
 
-                (pose, st, frame, mf), (poses, succ) = jax.lax.scan(
-                    scan_body, (last_pose, state, prev_frame, model_frame),
-                    (limgs, rimgs, masks))
+                def scan_body(carry, fr):
+                    pose, st, mf = carry
+                    (limg, rimg, mask, f_l, n_l, i_l, sf2, d2, m2) = fr
+                    out = self.model.apply(
+                        variables, mf.img, mf.depth * self.scale, mf.mask,
+                        jnp.zeros_like(mf.flow), limg, m2, self.intrinsics,
+                        f_l, n_l, i_l, sf2, d2, method=PoseNet.f2m_track)
+                    rel = out.pose  # (1, 7)
+                    bad = (jnp.any(~jnp.isfinite(rel))
+                           | jnp.any(jnp.abs(se3.log(rel)) > 0.1))
+                    rel = jnp.where(bad, se3.identity((1,)), rel)
+                    success = ~bad
+                    rel = se3.scale(rel, 1.0 / self.scale)
+                    new_pose = se3.normalize(se3.mul(pose, se3.inv(rel)))
+                    frame = make_frame(limg, rimg, depth=d2 / self.scale,
+                                       mask=mask, flow=sf2)
+                    if merged:
+                        st2, mf2 = jax.lax.cond(
+                            success,
+                            lambda s, m: surfel_fuse_render(
+                                s, frame, new_pose[0], kmat, cfg),
+                            lambda s, m: (s, m),
+                            st, mf,
+                        )
+                    else:
+                        st2 = jax.lax.cond(
+                            success,
+                            lambda s: surfel_fuse(s, frame, new_pose[0],
+                                                  kmat, cfg),
+                            lambda s: s,
+                            st,
+                        )
+                        mf2 = surfel_render(st2, kmat, cfg,
+                                            extrinsics=se3.inv(new_pose[0]))
+                    return (new_pose, st2, mf2), (new_pose, success)
+
+                (pose, st, mf), (poses, succ) = jax.lax.scan(
+                    scan_body, (last_pose, state, model_frame),
+                    (limgs, rimgs, masks, fl[:, None], net_l[:, None],
+                     inp_l[:, None], sflow2[:, None], depth2[:, None],
+                     mask2[:, None]))
+                # the final frame state is map-independent — built from the
+                # batched pre-pass, not materialized per scan step
+                frame = make_frame(limgs[-1], rimgs[-1],
+                                   depth=depth2[-1:] / self.scale,
+                                   mask=masks[-1], flow=sflow2[-1:])
                 return pose, st, frame, mf, poses, succ
 
             self._f2m_windows[cfg] = jax.jit(window)
