@@ -149,6 +149,62 @@ def test_track_window_matches_per_frame_f2m(checkpoint):
         rtol=1e-3)
 
 
+def _frames_with_jump(n=5, jump_at=3, jump=90):
+    """Like _frames but one frame teleports by ``jump`` px — far beyond the
+    |log(rel)| > 0.1 failure threshold (reference pose_estimator.py:81-87),
+    so the tracker must flag it and substitute identity."""
+    rng = np.random.default_rng(0)
+    import cv2
+    pad = jump + 2 * n + 8
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (H, W + pad, 3)).astype(np.float32), (0, 0), 2)
+    out = []
+    for i in range(n):
+        dx = 2 * i + (jump if i == jump_at else 0)
+        l = base[:, dx:dx + W]
+        r = base[:, dx + 3:dx + 3 + W]
+        out.append((l.transpose(2, 0, 1)[None], r.transpose(2, 0, 1)[None]))
+    return out
+
+
+@pytest.mark.parametrize("f2f", [True, False])
+def test_track_window_failure_branch_parity(checkpoint, f2f):
+    """The |log|>0.1 failure branch inside a window must fire AND produce
+    the same poses/successes as the per-frame path (f2m additionally: a
+    failed frame must not be fused, and the carried rendering is reused)."""
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    mask = np.ones((1, 1, H, W), bool)
+    frames = _frames_with_jump(5)
+    cfg = _slam_cfg(f2f)
+    if not f2f:
+        cfg["map_capacity"] = 8 * H * W
+
+    est_a = PoseEstimator(cfg, K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    poses_ref, succ_ref = [], []
+    for limg, rimg in frames:
+        pose, *_ = est_a(limg, rimg, mask)
+        poses_ref.append(np.asarray(pose[0]))
+        succ_ref.append(bool(est_a.success))
+
+    est_b = PoseEstimator(cfg, K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    est_b(*frames[0], mask)
+    limgs = np.stack([f[0] for f in frames[1:]])
+    rimgs = np.stack([f[1] for f in frames[1:]])
+    masks = np.stack([mask] * 4)
+    poses_w, succ = est_b.track_window(limgs, rimgs, masks)
+    poses_w, succ = np.asarray(poses_w), np.asarray(succ)
+
+    assert not succ.all(), "the jump frame must trip the failure branch"
+    np.testing.assert_array_equal(succ, np.asarray(succ_ref[1:]))
+    for i in range(4):
+        np.testing.assert_allclose(poses_w[i, 0], poses_ref[i + 1],
+                                   rtol=1e-4, atol=1e-5)
+    if not f2f:
+        assert est_a.scene.n_active == est_b.scene.n_active
+
+
 def test_init_pose_offset(checkpoint):
     K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
     init = np.array([5.0, -3.0, 2.0, 0, 0, 0, 1.0], np.float32)
