@@ -87,11 +87,10 @@ def main(args, config):
     timer = StageTimer()
 
     window = max(1, getattr(args, "window", 1))
-    if window > 1 and (args.viewer != "none" or args.log is not None
-                       or not config["slam"].get("frame2frame", True)):
-        warnings.warn("--window streaming needs f2f mode without viewers/"
-                      "logging (per-frame diagnostics are not materialized);"
-                      " falling back to per-frame tracking.")
+    if window > 1 and (args.viewer != "none" or args.log is not None):
+        warnings.warn("--window streaming materializes no per-frame "
+                      "diagnostics for viewers/logging; falling back to "
+                      "per-frame tracking.")
         window = 1
 
     trajectory = [{"camera-pose": np.asarray(pose_estimator.last_pose[0]),

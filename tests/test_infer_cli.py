@@ -98,3 +98,36 @@ def test_infer_trajectory_main(dataset_dir, checkpoint_dir, tmp_path):
     # init + one per frame
     assert len(poses) == N_FRAMES + 1
     assert np.all(np.isfinite(poses))
+
+
+def test_infer_trajectory_window_f2m(dataset_dir, checkpoint_dir, tmp_path):
+    """Windowed streaming through the CLI in frame-to-model mode (the f2m
+    window path: surfel pool as a scan carry, partial tail window)."""
+    from scripts.infer_trajectory import main
+
+    class Args:
+        input = dataset_dir
+        checkpoint = checkpoint_dir
+        outpath = str(tmp_path / "out_w")
+        start, stop, step = 0, 10000, 1
+        log = None
+        viewer = "none"
+        block_viewer = False
+        window = 3  # 5 frames = first + one full window + a partial tail
+
+    config = {
+        "slam": {"frame2frame": False, "checkpoint": None, "dist_thr": 50.0,
+                 "depth_clipping": [1, 250], "debug": False,
+                 "conf_weighing": False, "average_pts": False,
+                 "lbgfs_iters": 5, "map_capacity": 8 * H * W},
+        "img_size": [W, H],
+        "rect_mode": "conventional",
+    }
+    outpath = main(Args, config)
+
+    from robust_pose_tpu.utils.trajectory import read_freiburg
+    poses = read_freiburg(os.path.join(outpath, "trajectory.freiburg"))
+    assert len(poses) == N_FRAMES + 1
+    assert np.all(np.isfinite(poses))
+    assert os.path.isfile(os.path.join(outpath, "stable_map.ply")) or \
+        os.path.isfile(os.path.join(outpath, "all_map.ply"))
