@@ -18,6 +18,7 @@ import yaml
 
 
 def main(args, config):
+    import jax
     import jax.numpy as jnp
 
     from robust_pose_tpu.data.dataset_utils import (
@@ -128,8 +129,13 @@ def main(args, config):
             continue
         with timer.stage("track"):
             pose, scene, flow, weights = pose_estimator(limg, rimg, mask)
+        # when nothing consumes per-frame host data, DEFER the pose readback
+        # (device array straight into the trajectory; fetched in bulk before
+        # saving) — each per-frame sync would serialize the dispatch
+        # pipeline, and on a remote-attached TPU it pays a per-dispatch RPC
+        defer = viewer is None and args.log is None
         with timer.stage("readback"):
-            pose_np = np.asarray(pose[0])
+            pose_np = pose[0] if defer else np.asarray(pose[0])
         trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
         if viewer is not None and i > 0:
             if args.viewer == "2d":
@@ -150,6 +156,10 @@ def main(args, config):
         flush_window()  # partial tail window
     if getattr(args, "profile", False):
         print("per-frame stages:", timer.report())
+    # bulk-fetch any deferred device poses (one transfer, not one per frame)
+    fetched = jax.device_get([t["camera-pose"] for t in trajectory])
+    for t, p in zip(trajectory, fetched):
+        t["camera-pose"] = np.asarray(p)
     save_trajectory(trajectory, args.outpath)
     if scene is not None:
         # surface pool saturation in the run summary (the per-fuse warning
