@@ -124,6 +124,13 @@ class PoseEstimator:
         (the reference composes transform_cpy + render + infer + fuse with
         a host sync between each — pose_estimator.py:127-144).
 
+        Consumes the frame's :meth:`PoseNet.f2m_precompute` slice (``pre``):
+        the map-independent work — input-frame encoders and the whole
+        stereo branch — is hoisted out so the step itself only encodes the
+        rendered reference and runs the single temporal GRU problem
+        (PoseNet.f2m_track; f32-exact vs PoseNet.infer, see
+        tests/test_models.py::test_posenet_f2m_split_matches_infer).
+
         The model frame rides the carry: the render the reference performs
         at the START of step t+1 (extrinsics inv(last_pose), i.e. the pose
         solved at step t) is exactly computable at the END of step t — and
@@ -140,15 +147,24 @@ class PoseEstimator:
         kmat = self.intrinsics[0]
         merged = (not cfg.average_pts) and cfg.upscale == 1
 
-        def step(variables, last_pose, state, model_frame, prev_rimg, limg,
-                 rimg, mask):
-            reference_frame = model_frame.replace(
-                rimg=prev_rimg,
-                flow=jnp.zeros_like(model_frame.flow),
-            )
-            new_pose, frame, out, success = self._track_step(
-                variables, last_pose, reference_frame, limg, rimg, mask
-            )
+        def step(variables, last_pose, state, model_frame, limg, rimg, mask,
+                 pre):
+            f_l, n_l, i_l, sf2, d2, m2 = pre
+            out = self.model.apply(
+                variables, model_frame.img, model_frame.depth * self.scale,
+                model_frame.mask, jnp.zeros_like(model_frame.flow), limg,
+                m2, self.intrinsics, f_l, n_l, i_l, sf2, d2,
+                method=PoseNet.f2m_track)
+            rel = out.pose  # (1, 7)
+            # failure detection (reference pose_estimator.py:81-87)
+            bad = (jnp.any(~jnp.isfinite(rel))
+                   | jnp.any(jnp.abs(se3.log(rel)) > 0.1))
+            rel = jnp.where(bad, se3.identity((1,)), rel)
+            success = ~bad
+            rel = se3.scale(rel, 1.0 / self.scale)
+            new_pose = se3.normalize(se3.mul(last_pose, se3.inv(rel)))
+            frame = make_frame(limg, rimg, depth=d2 / self.scale, mask=mask,
+                               flow=sf2)
             if merged:
                 new_state, new_mf = jax.lax.cond(
                     success,
@@ -173,7 +189,18 @@ class PoseEstimator:
 
     def _get_f2m_step(self, cfg):
         if cfg not in self._f2m_steps:
-            self._f2m_steps[cfg] = jax.jit(self._f2m_body(cfg))
+            body = self._f2m_body(cfg)
+
+            def full(variables, last_pose, state, model_frame, limg, rimg,
+                     mask):
+                pre = self.model.apply(
+                    variables, limg, rimg, mask,
+                    self.baseline * self.scale,
+                    method=PoseNet.f2m_precompute)
+                return body(variables, last_pose, state, model_frame, limg,
+                            rimg, mask, pre)
+
+            self._f2m_steps[cfg] = jax.jit(full)
         return self._f2m_steps[cfg]
 
     def _get_f2m_window(self, cfg):
@@ -184,14 +211,7 @@ class PoseEstimator:
         fuse+render — with (pose, surfel state, model frame) as carries.
         Identical math to the per-frame f2m step (equivalence-tested)."""
         if cfg not in self._f2m_windows:
-            from robust_pose_tpu.slam.surfel_map import (
-                surfel_fuse,
-                surfel_fuse_render,
-                surfel_render,
-            )
-
-            kmat = self.intrinsics[0]
-            merged = (not cfg.average_pts) and cfg.upscale == 1
+            body = self._f2m_body(cfg)
 
             def window(variables, last_pose, state, prev_frame, model_frame,
                        limgs, rimgs, masks):
@@ -203,38 +223,9 @@ class PoseEstimator:
 
                 def scan_body(carry, fr):
                     pose, st, mf = carry
-                    (limg, rimg, mask, f_l, n_l, i_l, sf2, d2, m2) = fr
-                    out = self.model.apply(
-                        variables, mf.img, mf.depth * self.scale, mf.mask,
-                        jnp.zeros_like(mf.flow), limg, m2, self.intrinsics,
-                        f_l, n_l, i_l, sf2, d2, method=PoseNet.f2m_track)
-                    rel = out.pose  # (1, 7)
-                    bad = (jnp.any(~jnp.isfinite(rel))
-                           | jnp.any(jnp.abs(se3.log(rel)) > 0.1))
-                    rel = jnp.where(bad, se3.identity((1,)), rel)
-                    success = ~bad
-                    rel = se3.scale(rel, 1.0 / self.scale)
-                    new_pose = se3.normalize(se3.mul(pose, se3.inv(rel)))
-                    frame = make_frame(limg, rimg, depth=d2 / self.scale,
-                                       mask=mask, flow=sf2)
-                    if merged:
-                        st2, mf2 = jax.lax.cond(
-                            success,
-                            lambda s, m: surfel_fuse_render(
-                                s, frame, new_pose[0], kmat, cfg),
-                            lambda s, m: (s, m),
-                            st, mf,
-                        )
-                    else:
-                        st2 = jax.lax.cond(
-                            success,
-                            lambda s: surfel_fuse(s, frame, new_pose[0],
-                                                  kmat, cfg),
-                            lambda s: s,
-                            st,
-                        )
-                        mf2 = surfel_render(st2, kmat, cfg,
-                                            extrinsics=se3.inv(new_pose[0]))
+                    limg, rimg, mask = fr[:3]
+                    new_pose, frame, out, success, st2, mf2, _ = body(
+                        variables, pose, st, mf, limg, rimg, mask, fr[3:])
                     return (new_pose, st2, mf2), (new_pose, success)
 
                 (pose, st, mf), (poses, succ) = jax.lax.scan(
@@ -433,7 +424,7 @@ class PoseEstimator:
             (new_pose, frame, out, success, new_state, new_mf,
              model_frame) = step(
                 self.variables, self.last_pose, self.scene.state, prev_mf,
-                self.frame.rimg, limg, rimg, mask,
+                limg, rimg, mask,
             )
             self.scene.state = new_state
             self._model_frame = new_mf

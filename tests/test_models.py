@@ -138,6 +138,46 @@ def test_posenet_infer_jitted(posenet_and_params):
     )
 
 
+def test_posenet_f2m_split_matches_infer(posenet_and_params):
+    """f2m_precompute + f2m_track (the frame-to-model fast path: batched
+    map-independent pre-pass + lean sequential step) must reproduce
+    PoseNet.infer exactly on the same (reference, frame) problem.
+
+    Compared in f32 (same params, compute dtype only): under the production
+    bf16 GRU the two batch compositions (joint batch-2 vs temporal-only
+    batch-1) tile differently and accumulate ~0.1 px of bf16 rounding noise
+    over 12 GRU iterations, which the random-weight confidence heads then
+    amplify — pose-level bf16 agreement is covered by the estimator
+    window==per-frame tests."""
+    bf_model, variables, K, bl = posenet_and_params
+    model = PoseNet(dict(bf_model.config, mixed_precision=False))
+    ref = 255.0 * jax.random.uniform(jax.random.PRNGKey(11), (1, PH, PW, 3))
+    limg = 255.0 * jax.random.uniform(jax.random.PRNGKey(12), (1, PH, PW, 3))
+    rimg = 255.0 * jax.random.uniform(jax.random.PRNGKey(13), (1, PH, PW, 3))
+    depth1 = jnp.full((1, PH, PW, 1), 0.5)
+    mask = jnp.ones((1, PH, PW, 1), bool)
+    sflow1 = jnp.zeros((1, PH, PW, 2))
+
+    out_a = jax.jit(lambda v: model.apply(
+        v, ref, limg, K, bl, depth1, rimg, mask, mask, sflow1,
+        method=PoseNet.infer))(variables)
+
+    @jax.jit
+    def split(v):
+        f_l, n_l, i_l, sf2, d2, m2 = model.apply(
+            v, limg, rimg, mask, bl, method=PoseNet.f2m_precompute)
+        return model.apply(v, ref, depth1, mask, sflow1, limg, m2, K,
+                           f_l, n_l, i_l, sf2, d2, method=PoseNet.f2m_track)
+
+    out_b = split(variables)
+    np.testing.assert_allclose(out_b.pose, out_a.pose, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out_b.flow, out_a.flow, atol=1e-3)
+    np.testing.assert_allclose(out_b.depth2, out_a.depth2, rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(out_b.conf1, out_a.conf1, atol=1e-4)
+    np.testing.assert_allclose(out_b.conf2, out_a.conf2, atol=1e-4)
+
+
 def test_posenet_train_forward(posenet_and_params):
     model, variables, K, bl = posenet_and_params
     img1 = 255.0 * jax.random.uniform(jax.random.PRNGKey(8), (2, PH, PW, 3))
