@@ -213,7 +213,7 @@ class PoseEstimator:
         if cfg not in self._f2m_windows:
             body = self._f2m_body(cfg)
 
-            def window(variables, last_pose, state, prev_frame, model_frame,
+            def window(variables, last_pose, state, model_frame,
                        limgs, rimgs, masks):
                 pre = self.model.apply(
                     variables, limgs[:, 0], rimgs[:, 0], masks[:, 0],
@@ -316,13 +316,13 @@ class PoseEstimator:
         overflowed its capacity bucket mid-window, grow it and re-run the
         (pure) window from the pre-window carries — lossless, exact."""
         pre_mf = self._model_frame_f2m()
-        pre = (self.last_pose, self.scene.state, self.frame, pre_mf)
+        pre_pose, pre_state = self.last_pose, self.scene.state
         result = {}
 
         def run(state, cfg):
             win = self._get_f2m_window(cfg)
             (pose, st, frame, mf, poses, succ) = win(
-                self.variables, pre[0], state, pre[2], pre[3], limgs, rimgs,
+                self.variables, pre_pose, state, pre_mf, limgs, rimgs,
                 masks)
             self.last_pose, self.frame = pose, frame
             self._model_frame = mf
@@ -330,7 +330,7 @@ class PoseEstimator:
             return st
 
         self.scene.state = run(self.scene.state, self.scene.cfg)
-        self.scene.post_fuse(pre[1], run, frames=limgs.shape[0])
+        self.scene.post_fuse(pre_state, run, frames=limgs.shape[0])
         self.last_frame = self.frame
         self.success = result["succ"][-1]
         return result["poses"], result["succ"]
