@@ -24,6 +24,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}
 where vs_baseline is FPS / 30 (the >30 FPS north-star from BASELINE.md).
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -34,6 +35,9 @@ import jax.numpy as jnp
 
 H, W = 512, 640
 FX = 500.0
+# window-size overrides for sweeps (defaults are the shipped configuration)
+F2F_WINDOW = int(os.environ.get("BENCH_F2F_WINDOW", 8))
+F2M_WINDOW = int(os.environ.get("BENCH_F2M_WINDOW", 4))
 
 
 def make_sequence(n_frames, disparity=8, step=3, seed=0):
@@ -128,7 +132,7 @@ def main():
         "frame2frame": True, "lbgfs_iters": 20, "conf_weighing": True,
         "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
     })
-    f2f_fps, f2f_ok = bench_stream(f2f, t_window=8, n_windows=6)
+    f2f_fps, f2f_ok = bench_stream(f2f, t_window=F2F_WINDOW, n_windows=6)
 
     # frame-to-model, production configuration/infer_scared.yaml (iters=100).
     # The pool is pre-sized to its cap: the synthetic sequence appends
@@ -139,9 +143,10 @@ def main():
     f2m = build_estimator({
         "frame2frame": False, "lbgfs_iters": 100, "conf_weighing": True,
         "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
-        "map_capacity": 4 * H * W, "initial_bucket": 4 * H * W,
+        "map_capacity": F2M_WINDOW * H * W, "initial_bucket": F2M_WINDOW * H * W,
     })
-    f2m_fps, f2m_ok = bench_stream(f2m, t_window=4, n_windows=4, seed0=11)
+    f2m_fps, f2m_ok = bench_stream(f2m, t_window=F2M_WINDOW, n_windows=4,
+                                   seed0=11)
 
     print(json.dumps({
         "metric": "stereomis_tracking_fps_512x640_streaming",
