@@ -81,6 +81,19 @@ class PoseEstimator:
     # jitted step functions
     # ------------------------------------------------------------------
 
+    def _rel_check(self, rel):
+        """Failure detection + depth-scale de-normalization (reference
+        pose_estimator.py:81-87), shared by the per-frame, f2m and windowed
+        paths: a non-finite or |log| > 0.1 relative pose becomes identity.
+
+        :param rel: (B, 7) solved relative poses in normalized-depth space
+        :return: (rel (B, 7) in world depth units, success (B,) bool)
+        """
+        bad = (jnp.any(~jnp.isfinite(rel), axis=-1)
+               | jnp.any(jnp.abs(se3.log(rel)) > 0.1, axis=-1))
+        rel = jnp.where(bad[:, None], se3.identity((rel.shape[0],)), rel)
+        return se3.scale(rel, 1.0 / self.scale), ~bad
+
     def _first_step(self, variables, limg, rimg, mask):
         """First frame: stereo depth + the reference-feature cache for the
         next tracking step (reference pose_estimator.py:103-110)."""
@@ -105,18 +118,12 @@ class PoseEstimator:
             last.depth * self.scale, rimg, last.mask, mask, last.flow,
             method=PoseNet.infer, feats=feats,
         )
-        rel = out.pose  # (1, 7)
-        # failure detection (reference pose_estimator.py:81-87)
-        bad = jnp.any(~jnp.isfinite(rel)) | jnp.any(jnp.abs(se3.log(rel)) > 0.1)
-        rel = jnp.where(bad, se3.identity((1,)), rel)
-        success = ~bad
-
-        rel = se3.scale(rel, 1.0 / self.scale)  # de-normalize depth scaling
+        rel, success = self._rel_check(out.pose)
         new_pose = se3.normalize(se3.mul(last_pose, se3.inv(rel)))
 
         frame = make_frame(limg, rimg, depth=out.depth2 / self.scale,
                            mask=mask, flow=out.stereo_flow2)
-        return new_pose, frame, out, success
+        return new_pose, frame, out, success[0]
 
     def _f2m_body(self, cfg):
         """Raw fused frame-to-model step: track against the CARRIED model
@@ -155,13 +162,8 @@ class PoseEstimator:
                 model_frame.mask, jnp.zeros_like(model_frame.flow), limg,
                 m2, self.intrinsics, f_l, n_l, i_l, sf2, d2,
                 method=PoseNet.f2m_track)
-            rel = out.pose  # (1, 7)
-            # failure detection (reference pose_estimator.py:81-87)
-            bad = (jnp.any(~jnp.isfinite(rel))
-                   | jnp.any(jnp.abs(se3.log(rel)) > 0.1))
-            rel = jnp.where(bad, se3.identity((1,)), rel)
-            success = ~bad
-            rel = se3.scale(rel, 1.0 / self.scale)
+            rel, ok = self._rel_check(out.pose)
+            success = ok[0]
             new_pose = se3.normalize(se3.mul(last_pose, se3.inv(rel)))
             frame = make_frame(limg, rimg, depth=d2 / self.scale, mask=mask,
                                flow=sf2)
@@ -254,19 +256,13 @@ class PoseEstimator:
         batch-2T RAFT pass + a batch-T solve (PoseNet.infer_window); only
         the (T, 7) failure-checked pose compose is a scan. Identical math
         to the per-frame step, far better MXU utilization."""
-        t = limgs.shape[0]
         out = self.model.apply(
             variables, limgs[:, 0], rimgs[:, 0], masks[:, 0],
             self.intrinsics, self.baseline * self.scale,
             frame.img, frame.depth * self.scale, frame.mask, frame.flow,
             feats, method=PoseNet.infer_window)
 
-        rel = out.pose  # (T, 7)
-        bad = (jnp.any(~jnp.isfinite(rel), axis=-1)
-               | jnp.any(jnp.abs(se3.log(rel)) > 0.1, axis=-1))
-        rel = jnp.where(bad[:, None], se3.identity((t,)), rel)
-        success = ~bad
-        rel = se3.scale(rel, 1.0 / self.scale)
+        rel, success = self._rel_check(out.pose)  # (T, 7), (T,)
 
         def chain(pose, r):
             new = se3.normalize(se3.mul(pose, se3.inv(r[None])))

@@ -132,8 +132,10 @@ def main(args, config):
         # when nothing consumes per-frame host data, DEFER the pose readback
         # (device array straight into the trajectory; fetched in bulk before
         # saving) — each per-frame sync would serialize the dispatch
-        # pipeline, and on a remote-attached TPU it pays a per-dispatch RPC
-        defer = viewer is None and args.log is None
+        # pipeline, and on a remote-attached TPU it pays a per-dispatch RPC.
+        # --profile needs the per-frame sync for meaningful stage times.
+        defer = (viewer is None and args.log is None
+                 and not getattr(args, "profile", False))
         with timer.stage("readback"):
             pose_np = pose[0] if defer else np.asarray(pose[0])
         trajectory.append({"camera-pose": pose_np, "timestamp": img_number})
@@ -208,9 +210,10 @@ if __name__ == "__main__":
     parser.add_argument("--profile", action="store_true",
                         help="print per-frame stage timing")
     parser.add_argument("--window", type=int, default=1,
-                        help="track N frames per compiled dispatch (f2f "
-                        "streaming mode; amortizes dispatch overhead — use "
-                        "8 for real-time throughput on TPU)")
+                        help="track N frames per compiled dispatch "
+                        "(streaming mode, f2f and f2m; amortizes dispatch "
+                        "overhead — use 8 for real-time throughput on TPU; "
+                        "incompatible with viewers/logging)")
     args = parser.parse_args()
 
     if args.device == "cpu":
