@@ -71,6 +71,7 @@ class PoseNet(nn.Module):
             dropout=self.config.get("dropout", 0.0),
             lookup=self.config.get("lookup", "auto"),
             remat=self.config.get("remat", False),
+            remat_policy=self.config.get("remat_policy", "nothing"),
             name="flow",
         )
         compute_dtype = (jnp.bfloat16 if self.config.get("mixed_precision", True)

@@ -629,6 +629,12 @@ class RAFT(nn.Module):
     small: bool = False  # upstream RAFT small variant (hdim 96, cdim 64)
     dropout: float = 0.0  # encoder Dropout2d rate (upstream RAFT; train only)
     remat: bool = False  # rematerialize GRU iterations in backward (training)
+    remat_policy: str = "nothing"  # what remat may KEEP instead of
+    # recomputing: "nothing" (full recompute — minimum memory),
+    # "dots" (jax.checkpoint_policies.dots_saveable: conv/matmul outputs are
+    # kept, cheap elementwise ops recompute — trades the measured HBM
+    # headroom at grad_accum >= 2 for backward-pass FLOPs; see
+    # scripts/bench_train_step.py)
     lookup: str = "auto"  # correlation lookup implementation:
     # "auto" — "onthefly" on TPU, "xla" on CPU (avoids interpret-mode Pallas
     #   in CPU CI; kernel correctness is covered by dedicated interpret tests)
@@ -650,11 +656,13 @@ class RAFT(nn.Module):
         hdim = 96 if self.small else HDIM
         cdim = 64 if self.small else CDIM
         enc_cls = SmallEncoder if self.small else BasicEncoder
+        policy = (jax.checkpoint_policies.dots_saveable
+                  if self.remat_policy == "dots" else None)
         if self.remat:
             # training: recompute encoder activations in backward too (their
             # stored intermediates are ~250 MB each at batch 8 512x640)
             enc_cls = nn.remat(enc_cls, prevent_cse=False,
-                               static_argnums=(2,))
+                               static_argnums=(2,), policy=policy)
         self.fnet = enc_cls(output_dim=128 if self.small else 256,
                             norm="instance", dtype=self.dtype,
                             dropout=self.dropout)
@@ -664,8 +672,8 @@ class RAFT(nn.Module):
         # remat: recompute each GRU iteration's activations in the backward
         # pass instead of storing all `iters` of them (training at batch 8
         # 512x640 otherwise needs ~2x the chip's HBM); no effect on inference
-        step_cls = (nn.remat(_UpdateStep, prevent_cse=False) if self.remat
-                    else _UpdateStep)
+        step_cls = (nn.remat(_UpdateStep, prevent_cse=False, policy=policy)
+                    if self.remat else _UpdateStep)
         self.update = nn.scan(
             step_cls,
             variable_broadcast="params",

@@ -24,13 +24,13 @@ from functools import partial
 H, W = 512, 640
 
 
-def build(batch, remat, accum=1):
+def build(batch, remat, accum=1, remat_policy="nothing"):
     from robust_pose_tpu.train.trainer import PoseNetTrainer
 
     config = {
         "model": {"iters": 12, "lbgfs_iters": 20, "use_weights": True,
                   "pose_scale": 1.0, "dropout": 0.0, "small": False,
-                  "remat": remat},
+                  "remat": remat, "remat_policy": remat_policy},
         "image_shape": [H, W],
         "depth_scale": 250,
         "train": {"batch_size": batch, "learning_rate": 1e-5,
@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--accum", type=int, default=1,
                     help="train.grad_accum microbatches")
     ap.add_argument("--skip_noremat", action="store_true")
+    ap.add_argument("--remat_policy", default="nothing",
+                    choices=["nothing", "dots"],
+                    help="what remat may keep instead of recomputing")
     args = ap.parse_args()
 
     from robust_pose_tpu.parallel.mesh import shard_batch
@@ -113,7 +116,8 @@ def main():
         del trainer, state, step, batch
 
     # --- remat ON: memory analysis + timed execution ------------------
-    trainer, state = build(args.batch, remat=True, accum=args.accum)
+    trainer, state = build(args.batch, remat=True, accum=args.accum,
+                           remat_policy=args.remat_policy)
     step = trainer.make_train_step()
     batch = shard_batch(trainer.mesh, make_batch(args.batch))
     t0 = time.time()

@@ -130,6 +130,39 @@ def test_grad_accum_matches_single_pass():
     np.testing.assert_allclose(lw1, lw2, rtol=1e-4, atol=1e-7)
 
 
+def test_remat_policy_matches_no_remat():
+    """Rematerialization (any policy) is semantics-preserving: the train
+    step with remat="dots"/"nothing" must produce the same loss and
+    gradients as the no-remat step. Compared in f32 — remat changes XLA's
+    fusion layout, which under bf16 shifts rounding by ~1e-3 rel (amplified
+    through the pose solve), masking any real semantic difference."""
+    import copy
+
+    mesh = make_mesh(8)
+    results = []
+    for remat, policy in ((False, "nothing"), (True, "nothing"),
+                          (True, "dots")):
+        cfg = copy.deepcopy(CONFIG)
+        cfg["model"]["small"] = True
+        cfg["model"]["mixed_precision"] = False
+        cfg["model"]["remat"] = remat
+        cfg["model"]["remat_policy"] = policy
+        tr = PoseNetTrainer(cfg, mesh=mesh)
+        st = tr.init_state(jax.random.PRNGKey(0))
+        st.params["flow"]["update"]["update_block"]["flow_head"]["conv2"][
+            "bias"] = jnp.array([-2.5, 0.0])
+        batch = _batch(jax.random.PRNGKey(9))
+        _, m = tr.make_train_step()(st, shard_batch(mesh, batch))
+        results.append((float(m["train/loss_total"]),
+                        float(m["train/grad_norm"])))
+    for loss, gnorm in results[1:]:
+        # remat changes fusion layout -> f32 reassociation noise (~3e-6 rel
+        # through the solve); anything beyond 1e-4 would be a real semantic
+        # divergence
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-4)
+        np.testing.assert_allclose(gnorm, results[0][1], rtol=1e-3)
+
+
 def test_train_state_checkpoint_roundtrip(trainer_and_state, tmp_path):
     from robust_pose_tpu.utils.checkpoints import (
         load_train_state,
