@@ -29,6 +29,8 @@ if __name__ == "__main__":
     parser.add_argument("--log", default=None)
     parser.add_argument("--viewer", default="none", choices=["none", "2d"])
     parser.add_argument("--block_viewer", action="store_true")
+    parser.add_argument("--window", type=int, default=1,
+                        help="track N frames per compiled dispatch (streaming)")
     args = parser.parse_args()
 
     if args.device == "cpu":
