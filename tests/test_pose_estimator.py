@@ -96,18 +96,25 @@ def test_track_window_matches_per_frame(checkpoint):
     est_b = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
                           checkpoint=checkpoint, img_shape=(W, H))
     est_b(*frames[0], mask)  # first frame seeds the state per-frame
-    limgs = np.stack([f[0] for f in frames[1:]])
-    rimgs = np.stack([f[1] for f in frames[1:]])
-    masks = np.stack([mask] * 4)
-    poses_w, succ = est_b.track_window(limgs, rimgs, masks)
-    poses_w = np.asarray(poses_w)
+    # TWO consecutive windows: the second consumes the first's carried frame
+    # state + reference-feature cache (the cross-window handoff)
+    poses_w, succ = [], []
+    for lo in (1, 3):
+        limgs = np.stack([f[0] for f in frames[lo:lo + 2]])
+        rimgs = np.stack([f[1] for f in frames[lo:lo + 2]])
+        masks = np.stack([mask] * 2)
+        p, s = est_b.track_window(limgs, rimgs, masks)
+        poses_w.append(np.asarray(p))
+        succ.append(np.asarray(s))
+    poses_w = np.concatenate(poses_w)
+    succ = np.concatenate(succ)
 
     for i in range(4):
         np.testing.assert_allclose(poses_w[i, 0], poses_ref[i + 1],
                                    rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(est_b.last_pose[0]), poses_ref[-1],
                                rtol=1e-4, atol=1e-5)
-    assert np.asarray(succ).shape == (4,)
+    assert succ.shape == (4,)
 
 
 def test_track_window_matches_per_frame_f2m(checkpoint):
