@@ -49,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--stage", default="all")
+    ap.add_argument("--window", type=int, default=8,
+                    help="T for the infer_window stage")
     args = ap.parse_args()
     n = args.iters
 
@@ -75,7 +77,8 @@ def main():
     # stages that need weights, and run it on CPU (same params; the xla
     # lookup variant avoids tracing TPU pallas kernels on the CPU backend)
     variables = None
-    if args.stage in ("all", "full", "raft", "enc", "gru", "unet"):
+    if args.stage in ("all", "full", "raft", "enc", "gru", "unet",
+                      "window"):
         init_model = PoseNet(dict(config, lookup="xla"))
         variables = jax.jit(
             lambda k: init_model.init(k, img, img, K, bl, img, img),
@@ -96,6 +99,28 @@ def main():
                         jnp.ones((1, H, W, 1), bool),
                         jnp.full((1, H, W, 2), -16.0))
         timed(step, mk, n, "full infer step")
+
+    # --- batched f2f window (PoseNet.infer_window, one batch-2T pass) -------
+    if want("window"):
+        T = args.window
+        feats = jax.jit(
+            lambda v, im: model.apply(v, im, method=PoseNet.encode_ref)
+        )(variables, rand(999, (1, H, W, 3), 255))
+
+        @jax.jit
+        def wstep(v, limgs, rimgs, masks, pimg, pd, pm, psf, fts):
+            return model.apply(v, limgs, rimgs, masks, K, bl, pimg, pd, pm,
+                               psf, fts, method=PoseNet.infer_window)
+
+        mk = lambda i: (variables, rand(5 * i, (T, H, W, 3), 255),
+                        rand(5 * i + 1, (T, H, W, 3), 255),
+                        jnp.ones((T, H, W, 1), bool),
+                        rand(5 * i + 2, (1, H, W, 3), 255),
+                        jnp.full((1, H, W, 1), 0.5),
+                        jnp.ones((1, H, W, 1), bool),
+                        jnp.full((1, H, W, 2), -16.0), feats)
+        dt = timed(wstep, mk, n, f"infer_window (T={T}, batch-{2 * T} RAFT)")
+        print(f"{'  -> per frame':36s} {dt / T:8.2f} ms")
 
     # --- RAFT (batch 2, as in infer) ---------------------------------------
     if want("raft"):
