@@ -139,7 +139,7 @@ def main():
         timed(direct, mk_pk, n, f"winner: direct scatter-max ({args.frames}xHW)")
         timed(sorted_winner, mk_pk, n, f"winner: sort+unique-set ({args.frames}xHW)")
 
-    if want("track"):
+    if want("track") or want("split"):
         from robust_pose_tpu.models.posenet import PoseNet
         config = {"image_shape": (H, W), "iters": 12, "lbgfs_iters": 100,
                   "use_weights": True}
@@ -152,6 +152,7 @@ def main():
                                       img), backend="cpu")(jax.random.PRNGKey(0))
         variables = jax.device_put(variables, jax.devices()[0])
 
+    if want("track"):
         @jax.jit
         def step(v, img1, img2, img2r, depth1, mask, sflow1):
             return model.apply(v, img1, img2, K, jnp.ones((1,)), depth1,
@@ -165,6 +166,46 @@ def main():
                         jnp.ones((1, H, W, 1), bool),
                         jnp.full((1, H, W, 2), -16.0))
         timed(step, mk, n, "track step (infer, lbgfs_iters=100)")
+
+    if want("split"):
+        # the f2m fast path: map-independent pre-pass batched over the
+        # window, then the lean sequential step (rendered-reference encode +
+        # single temporal GRU problem + solve)
+        T = args.frames
+
+        @jax.jit
+        def pre(v, limgs, rimgs, masks):
+            return model.apply(v, limgs, rimgs, masks, jnp.ones((1,)),
+                               method=PoseNet.f2m_precompute)
+
+        mkp = lambda i: (variables, rand(11 * i, (T, H, W, 3), 255),
+                         rand(11 * i + 1, (T, H, W, 3), 255),
+                         jnp.ones((T, H, W, 1), bool))
+        dtp = timed(pre, mkp, n, f"f2m_precompute (T={T}, batched)")
+        print(f"{'  -> per frame':44s} {dtp / T:8.2f} ms")
+
+        @jax.jit
+        def track1(v, ref, depth1, sflow1, limg, mask, fmap_l, net_l, inp_l,
+                   sf2, d2):
+            return model.apply(v, ref, depth1,
+                               jnp.ones((1, H, W, 1), bool), sflow1, limg,
+                               mask, K, fmap_l, net_l, inp_l, sf2, d2,
+                               method=PoseNet.f2m_track)
+
+        h8, w8 = H // 8, W // 8
+
+        def mkt(i):
+            return (variables, rand(13 * i, (1, H, W, 3), 255),
+                    jnp.full((1, H, W, 1), 0.5),
+                    jnp.zeros((1, H, W, 2)),
+                    rand(13 * i + 1, (1, H, W, 3), 255),
+                    jnp.ones((1, H, W, 1), bool),
+                    rand(13 * i + 2, (1, h8, w8, 256), 1.0),
+                    rand(13 * i + 3, (1, h8, w8, 128), 1.0),
+                    rand(13 * i + 4, (1, h8, w8, 128), 1.0),
+                    jnp.full((1, H, W, 2), -16.0),
+                    jnp.full((1, H, W, 1), 0.5))
+        timed(track1, mkt, n, "f2m_track step (lbgfs_iters=100)")
 
 
 if __name__ == "__main__":
