@@ -361,6 +361,7 @@ class PoseEstimator:
                     # default (ties at 2^-conf_bits granularity resolve by
                     # slot id — the reference's own tie order is arbitrary)
                     "exact_render": self.config.get("exact_render", False),
+                    "winner": self.config.get("winner", "scatter"),
                     "initial_bucket": self.config.get("initial_bucket"),
                     "upscale": self.config.get("upscale", 1)},
             pmat=self.last_pose[0],

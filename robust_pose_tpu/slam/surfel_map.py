@@ -60,6 +60,11 @@ class SurfelConfig(NamedTuple):
     # packed-key scatter-max — confidence ties are resolved at 2^-conf_bits
     # granularity (slot id breaks near-ties), 3x faster on TPU; the
     # reference's own tie order is sort-arbitrary (surfel_map.py:242-254).
+    winner: str = "scatter"           # packed-winner primitive: "scatter"
+    # (one scatter-max over the pool) or "sort" (lax.sort by (pixel, key) +
+    # unique per-segment-tail set — bit-identical result; TPU scatters with
+    # millions of duplicate indices can lose to the bitonic sorter, see
+    # scripts/profile_f2m.py --stage winner)
     upscale: int = 1                  # fuse-time correspondence supersampling
     # (reference surfel_map.py:24,86-93: the frame is bilinearly upsampled and
     # the intrinsics scaled so surfel<->pixel matching happens on a u-times
@@ -79,6 +84,23 @@ class SurfelState(NamedTuple):
     pmat: Array       # (7,) map extrinsics
     n_dropped: Array  # () int32 — appends lost to capacity overflow
     hi: Array         # () int32 — 1 + max active slot index (prefix extent)
+
+
+def _winner_kmax(pix: Array, key: Array, n: int, cfg: SurfelConfig) -> Array:
+    """Per-pixel max of ``key`` over candidates (``pix == n`` drops).
+
+    "scatter": one scatter-max. "sort": lexicographic (pix, key) sort; the
+    tail of each pixel segment holds its max, written with a unique-index
+    set. Bit-identical outputs (the packed key embeds the slot id, so maxima
+    are unique); which primitive is faster is hardware-dependent.
+    """
+    if cfg.winner == "sort":
+        ps, ks = jax.lax.sort((pix, key), num_keys=2)
+        is_last = jnp.concatenate([ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+        idx = jnp.where(is_last, ps, n)
+        return jnp.full((n,), -1, jnp.int32).at[idx].set(
+            ks, mode="drop", unique_indices=True)
+    return jnp.full((n,), -1, jnp.int32).at[pix].max(key, mode="drop")
 
 
 def _frame_world_points(frame: Frame, kmat: Array, pose: Array,
@@ -250,7 +272,11 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     # pixels already covered by a matched surfel (surfel_map.py:127-133);
     # for u > 1 the fine-grid coverage max-pools back to the base grid
     # (reference surfel_map.py:131-133)
-    covered_f = jnp.zeros((nf,), bool).at[midx].max(matched, mode="drop")
+    if cfg.winner == "sort":
+        covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
+                                 cfg) > 0
+    else:
+        covered_f = jnp.zeros((nf,), bool).at[midx].max(matched, mode="drop")
     if u > 1:
         covered = covered_f.reshape(h, u, w, u).any(axis=(1, 3)).reshape(-1)
     else:
@@ -372,7 +398,6 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         slot_img = slot_img.at[blk_pix].max(bcand, mode="drop")
     else:
         key = pack(new_state.conf, slot_ids, valid)
-        kmax = jnp.full((n,), -1, jnp.int32).at[pix].max(key, mode="drop")
         # appended block: row j landed at slot hi0+j and projects back to its
         # own source pixel src-inverse; blk row j's pixel is the j-th placed
         # new point's pixel = aux['src'][j]
@@ -380,7 +405,8 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         blk_conf = new_state.conf[jnp.clip(blk_ids, 0, alloc - 1)]
         blk_key = pack(blk_conf, blk_ids, aux["blk_active"])
         blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
-        kmax = kmax.at[blk_pix].max(blk_key, mode="drop")
+        kmax = _winner_kmax(jnp.concatenate([pix, blk_pix]),
+                            jnp.concatenate([key, blk_key]), n, cfg)
         slot_img = jnp.where(kmax >= 0, kmax & ((1 << slot_bits) - 1), -1)
 
     have = slot_img >= 0
@@ -444,7 +470,7 @@ def surfel_render(state: SurfelState, kmat: Array, cfg: SurfelConfig,
         qmax = (1 << conf_bits) - 1
         q = jnp.clip((state.conf * qmax).astype(jnp.int32), 0, qmax)
         key = jnp.where(valid, (q << slot_bits) | slot_ids, -1)
-        kmax = jnp.full((n,), -1, jnp.int32).at[pix].max(key, mode="drop")
+        kmax = _winner_kmax(pix, key, n, cfg)
         slot_img = jnp.where(kmax >= 0, kmax & ((1 << slot_bits) - 1), -1)
 
     # the winner slot per pixel is now known, so depth/rgb/conf come from
@@ -500,6 +526,7 @@ class SurfelMap:
             d_thresh=config.get("dist_thr", 100.0),
             average_pts=config.get("average_pts", True),
             exact_render=bool(config.get("exact_render", True)),
+            winner=str(config.get("winner", "scatter")),
             upscale=int(config.get("upscale", 1)),
         )
         # initial_bucket pre-sizes the pool (skips growth recompiles on

@@ -263,9 +263,12 @@ def test_fuse_render_merged_matches_sequential():
                        depth=90.0 + 40.0 * jax.random.uniform(ks[5], (1, H, W, 1)),
                        mask=jax.random.uniform(ks[6], (1, H, W, 1)) > 0.1)
 
-    for exact in (False, True):
+    packed = {}  # winner -> (state, model frame): must be bit-identical
+    for exact, winner in ((False, "scatter"), (False, "sort"),
+                          (True, "scatter")):
         cfg = SurfelConfig(capacity=cap, img_shape=(H, W), d_thresh=50.0,
-                           average_pts=False, exact_render=exact)
+                           average_pts=False, exact_render=exact,
+                           winner=winner)
         st_seq = surfel_fuse(base, frame, pose, _kmat(), cfg)
         mf_seq = surfel_render(st_seq, _kmat(), cfg, extrinsics=se3.inv(pose))
         st_mrg, mf_mrg = surfel_fuse_render(base, frame, pose, _kmat(), cfg)
@@ -279,3 +282,13 @@ def test_fuse_render_merged_matches_sequential():
                                    np.asarray(mf_mrg.img), atol=1e-3)
         np.testing.assert_allclose(np.asarray(mf_seq.confidence),
                                    np.asarray(mf_mrg.confidence), atol=1e-6)
+        if not exact:
+            packed[winner] = (st_mrg, mf_mrg)
+
+    # the sort-based winner is an exact drop-in for the scatter-max
+    sc, so = packed["scatter"], packed["sort"]
+    for a, b in zip(sc[0], so[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for f in ("img", "depth", "mask", "confidence"):
+        np.testing.assert_array_equal(np.asarray(getattr(sc[1], f)),
+                                      np.asarray(getattr(so[1], f)))
