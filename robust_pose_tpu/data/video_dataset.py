@@ -30,6 +30,9 @@ class StereoVideoDataset:
         self.video_file = video_file
         assert os.path.isfile(self.video_file)
         self.rectify = rectify
+        # raw mode: yield the decode-scale uint8 stereo halves untouched
+        # (mask/resize/rectify run on-device via data/device_preproc.py)
+        self.raw = False
         ts_file = self.video_file.replace(".mp4", ".json")
         if os.path.isfile(ts_file):
             with open(ts_file, "r") as f:
@@ -70,6 +73,12 @@ class StereoVideoDataset:
                 pose = self.poses[counter - 1]
             else:
                 pose = np.asarray(se3.identity(()))
+
+            if self.raw:
+                num = (self.timestamps[counter - 1]
+                       if self.timestamps is not None else counter)
+                yield limg, rimg, np.asarray(pose), str(num)
+                continue
 
             mask = mask_specularities(limg)
             limg = limg.astype(np.float32)

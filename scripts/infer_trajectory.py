@@ -43,6 +43,20 @@ def main(args, config):
     dataset, calib = get_data(args.input, config["img_size"],
                               rect_mode=config["rect_mode"])
 
+    # --device-preproc: the host thread only decodes; specularity masking,
+    # resize, and the rectification remap run as one jitted device program
+    device_pre = None
+    if getattr(args, "device_preproc", False):
+        if isinstance(dataset, StereoVideoDataset):
+            from robust_pose_tpu.data.device_preproc import DevicePreproc
+            dataset.raw = True
+            device_pre = DevicePreproc(tuple(config["img_size"]),
+                                       rectifier=dataset.rectify)
+        else:
+            warnings.warn("--device-preproc applies to video datasets "
+                          "(PNG datasets are already rectified on disk); "
+                          "ignored.")
+
     gt_file = os.path.join(args.input, "groundtruth.txt")
     gt_trajectory = read_freiburg(gt_file) if os.path.isfile(gt_file) else None
     init_pose = (gt_trajectory[args.start]
@@ -100,9 +114,12 @@ def main(args, config):
     buf = []  # (limg, rimg, mask, img_number) awaiting a windowed dispatch
 
     def flush_window():
-        limgs = np.stack([b[0] for b in buf])
-        rimgs = np.stack([b[1] for b in buf])
-        masks = np.stack([b[2] for b in buf])
+        # device-preproc outputs are already on device: stack there (np.stack
+        # would round-trip them through the host)
+        xp = jnp if device_pre is not None else np
+        limgs = xp.stack([b[0] for b in buf])
+        rimgs = xp.stack([b[1] for b in buf])
+        masks = xp.stack([b[2] for b in buf])
         with timer.stage("track"):
             poses, succ = pose_estimator.track_window(limgs, rimgs, masks)
         with timer.stage("readback"):
@@ -116,7 +133,11 @@ def main(args, config):
     for i, data in enumerate(prefetch_iterator(
             iterate_dataset(dataset, sampler), depth=2 * window)):
         if isinstance(dataset, StereoVideoDataset):
-            limg, rimg, mask, pose_kinematics, img_number = data
+            if device_pre is not None:
+                limg_raw, rimg_raw, pose_kinematics, img_number = data
+                limg, rimg, mask = device_pre(limg_raw, rimg_raw)
+            else:
+                limg, rimg, mask, pose_kinematics, img_number = data
         else:
             limg, rimg, mask, img_number = data
         limg = limg[None] if limg.ndim == 3 else limg
@@ -214,6 +235,11 @@ if __name__ == "__main__":
                         "(streaming mode, f2f and f2m; amortizes dispatch "
                         "overhead — use 8 for real-time throughput on TPU; "
                         "incompatible with viewers/logging)")
+    parser.add_argument("--device-preproc", action="store_true",
+                        dest="device_preproc",
+                        help="run specularity masking, resize, and the "
+                        "rectification remap on-device (video datasets): "
+                        "the host only decodes frames and uploads raw uint8")
     args = parser.parse_args()
 
     if args.device == "cpu":
