@@ -31,6 +31,9 @@ if __name__ == "__main__":
     parser.add_argument("--block_viewer", action="store_true")
     parser.add_argument("--window", type=int, default=1,
                         help="track N frames per compiled dispatch (streaming)")
+    parser.add_argument("--device-preproc", action="store_true",
+                        dest="device_preproc",
+                        help="on-device mask/resize/rectify (video datasets)")
     args = parser.parse_args()
 
     if args.device == "cpu":
