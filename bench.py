@@ -174,6 +174,9 @@ def main():
         "frame2frame": False, "lbgfs_iters": 100, "conf_weighing": True,
         "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
         "map_capacity": F2M_WINDOW * H * W, "initial_bucket": F2M_WINDOW * H * W,
+        # packed-winner primitive A/B (bit-identical outputs; see
+        # slam/surfel_map.py::SurfelConfig.winner)
+        "winner": os.environ.get("BENCH_F2M_WINNER", "scatter"),
     })
     f2m_fps, f2m_ok = bench_stream(f2m, t_window=F2M_WINDOW, n_windows=4,
                                    seed0=11)
