@@ -62,6 +62,15 @@ if "cpu" not in os.environ.get("JAX_PLATFORMS", "").lower():
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: the two tracking-window programs take
+# ~2 min to compile cold; cached executables make repeat bench runs start
+# in seconds (keyed by JAX/XLA version + HLO, safe to persist)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(__file__), ".jax_cache")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 H, W = 512, 640
 FX = 500.0
