@@ -14,6 +14,9 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+from robust_pose_tpu.ops.gather import gather_rows_batched as _gather_rows
+
+
 def _gather_pix(img: Array, ix: Array, iy: Array) -> Array:
     """Gather pixels at integer coords with zero padding.
 
@@ -27,7 +30,7 @@ def _gather_pix(img: Array, ix: Array, iy: Array) -> Array:
     iyc = jnp.clip(iy, 0, h - 1)
     flat = img.reshape(b, h * w, c)
     idx = iyc * w + ixc  # (B, N)
-    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    out = _gather_rows(flat, idx)
     return out * inb[..., None]
 
 
@@ -47,21 +50,22 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array,
         iy = jnp.floor(coords_y + 0.5).astype(jnp.int32)
         return _gather_pix(img, ix, iy)
 
-    x0 = jnp.floor(coords_x)
-    y0 = jnp.floor(coords_y)
-    wx = coords_x - x0
-    wy = coords_y - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
+    # bilinear via the quad-packed single gather (all four corners arrive in
+    # one contiguous row fetch; see warp_bilinear_nearest for the rationale —
+    # 4 separate corner gathers cost ~4x more fetches)
+    b, h, w, c = img.shape
+    x0f = jnp.floor(coords_x)
+    y0f = jnp.floor(coords_y)
+    wx = (coords_x - x0f)[..., None]
+    wy = (coords_y - y0f)[..., None]
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
 
-    v00 = _gather_pix(img, x0i, y0i)
-    v01 = _gather_pix(img, x1i, y0i)
-    v10 = _gather_pix(img, x0i, y1i)
-    v11 = _gather_pix(img, x1i, y1i)
-    wx = wx[..., None]
-    wy = wy[..., None]
+    rows = _quad_rows(img, x0, y0)                        # (B, N, 4c)
+    v00 = rows[..., 0 * c:1 * c] * _inb(x0, y0, w, h)[..., None]
+    v01 = rows[..., 1 * c:2 * c] * _inb(x0 + 1, y0, w, h)[..., None]
+    v10 = rows[..., 2 * c:3 * c] * _inb(x0, y0 + 1, w, h)[..., None]
+    v11 = rows[..., 3 * c:4 * c] * _inb(x0 + 1, y0 + 1, w, h)[..., None]
     return (
         v00 * (1.0 - wx) * (1.0 - wy)
         + v01 * wx * (1.0 - wy)
@@ -72,6 +76,28 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array,
 
 def _inb(ix, iy, w, h):
     return ((ix >= 0) & (ix < w) & (iy >= 0) & (iy < h))
+
+
+def _quad_rows(img: Array, x0: Array, y0: Array) -> Array:
+    """Fetch the 2x2 patch with top-left (y0, x0) for every query as ONE
+    row gather: quad[y, x] stacks the patch at (y-1, x-1) of the
+    zero-bordered image, so all four corners arrive in a single contiguous
+    row — gather fetches (not bytes) are what TPU warp cost scales with.
+
+    :param img: (B, H, W, C)
+    :param x0, y0: (B, N) int32 top-left corner coords (may be off-image;
+        out-of-bounds corners return zeros via the border padding, callers
+        still mask with ``_inb`` per corner)
+    :return: (B, N, 4C) rows ordered [v00 | v01 | v10 | v11]
+    """
+    b, h, w, c = img.shape
+    P = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [P[:, :-1, :-1], P[:, :-1, 1:], P[:, 1:, :-1], P[:, 1:, 1:]], axis=-1)
+    xf = jnp.clip(x0 + 1, 0, w)
+    yf = jnp.clip(y0 + 1, 0, h)
+    return _gather_rows(quad.reshape(b, (h + 1) * (w + 1), 4 * c),
+                        yf * (w + 1) + xf)
 
 
 def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
@@ -103,18 +129,7 @@ def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    # quad image: quad[y, x] stacks the 2x2 patch with top-left (y-1, x-1)
-    # of the zero-bordered image, so ALL FOUR corners arrive in a single
-    # contiguous row fetch — gather fetch count (not bytes) is what TPU
-    # warp cost scales with (4 corner gathers ~6.5 ms -> 1 quad gather)
-    P = jnp.pad(packed, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    quad = jnp.concatenate(
-        [P[:, :-1, :-1], P[:, :-1, 1:], P[:, 1:, :-1], P[:, 1:, 1:]], axis=-1)
-    xf = jnp.clip(x0 + 1, 0, w)
-    yf = jnp.clip(y0 + 1, 0, h)
-    rows = jnp.take_along_axis(
-        quad.reshape(b, (h + 1) * (w + 1), 4 * cp),
-        (yf * (w + 1) + xf)[..., None], axis=1)          # (B, N, 4cp)
+    rows = _quad_rows(packed, x0, y0)                    # (B, N, 4cp)
 
     v00 = rows[..., 0 * cp:1 * cp] * _inb(x0, y0, w, h)[..., None]
     v01 = rows[..., 1 * cp:2 * cp] * _inb(x0 + 1, y0, w, h)[..., None]
