@@ -14,7 +14,19 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
-from robust_pose_tpu.ops.gather import gather_rows_batched as _gather_rows
+import os as _os
+
+if _os.environ.get("ROBUST_POSE_WARP_CHUNKED", "0") == "1":
+    # chunk-serialized gathers (ops/gather.py): faster for the ISOLATED op,
+    # but the serialization chain can block XLA from overlapping the warp
+    # with surrounding compute inside the big fused tracking program —
+    # measured net-negative for f2f streaming (34.3 -> 31.5 FPS), so the
+    # warp path defaults to the single batched gather; the surfel pool
+    # passes (standalone dependency chains) keep the chunked primitive
+    from robust_pose_tpu.ops.gather import gather_rows_batched as _gather_rows
+else:
+    def _gather_rows(flat, idx):
+        return jnp.take_along_axis(flat, idx[..., None], axis=1)
 
 
 def _gather_pix(img: Array, ix: Array, iy: Array) -> Array:
@@ -50,9 +62,6 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array,
         iy = jnp.floor(coords_y + 0.5).astype(jnp.int32)
         return _gather_pix(img, ix, iy)
 
-    # bilinear via the quad-packed single gather (all four corners arrive in
-    # one contiguous row fetch; see warp_bilinear_nearest for the rationale —
-    # 4 separate corner gathers cost ~4x more fetches)
     b, h, w, c = img.shape
     x0f = jnp.floor(coords_x)
     y0f = jnp.floor(coords_y)
@@ -61,11 +70,27 @@ def grid_sample(img: Array, coords_x: Array, coords_y: Array,
     x0 = x0f.astype(jnp.int32)
     y0 = y0f.astype(jnp.int32)
 
-    rows = _quad_rows(img, x0, y0)                        # (B, N, 4c)
-    v00 = rows[..., 0 * c:1 * c] * _inb(x0, y0, w, h)[..., None]
-    v01 = rows[..., 1 * c:2 * c] * _inb(x0 + 1, y0, w, h)[..., None]
-    v10 = rows[..., 2 * c:3 * c] * _inb(x0, y0 + 1, w, h)[..., None]
-    v11 = rows[..., 3 * c:4 * c] * _inb(x0 + 1, y0 + 1, w, h)[..., None]
+    if coords_x.shape[1] * 4 >= h * w:
+        # query-dense: quad-packed single gather (all four corners arrive in
+        # one contiguous row fetch; see warp_bilinear_nearest — gather fetch
+        # count, not bytes, is what TPU warp cost scales with)
+        rows = _quad_rows(img, x0, y0)                    # (B, N, 4c)
+        v00 = rows[..., 0 * c:1 * c]
+        v01 = rows[..., 1 * c:2 * c]
+        v10 = rows[..., 2 * c:3 * c]
+        v11 = rows[..., 3 * c:4 * c]
+    else:
+        # query-sparse (e.g. warp_then_eighth's 1/16 tap set): materializing
+        # the (H+1)x(W+1)x4C quad image costs more HBM traffic than four
+        # small gathers — fetch the corners directly
+        v00 = _gather_pix(img, x0, y0)
+        v01 = _gather_pix(img, x0 + 1, y0)
+        v10 = _gather_pix(img, x0, y0 + 1)
+        v11 = _gather_pix(img, x0 + 1, y0 + 1)
+    v00 = v00 * _inb(x0, y0, w, h)[..., None]
+    v01 = v01 * _inb(x0 + 1, y0, w, h)[..., None]
+    v10 = v10 * _inb(x0, y0 + 1, w, h)[..., None]
+    v11 = v11 * _inb(x0 + 1, y0 + 1, w, h)[..., None]
     return (
         v00 * (1.0 - wx) * (1.0 - wy)
         + v01 * wx * (1.0 - wy)
