@@ -106,7 +106,9 @@ def build_estimator(slam_cfg, disparity=8):
     from robust_pose_tpu.slam.pose_estimator import PoseEstimator
 
     model_cfg = {"image_shape": (H, W), "iters": 12,
-                 "lbgfs_iters": slam_cfg["lbgfs_iters"], "use_weights": True}
+                 "lbgfs_iters": slam_cfg["lbgfs_iters"], "use_weights": True,
+                 # correlation-lookup kernel A/B (models/raft.py::RAFT.lookup)
+                 "lookup": os.environ.get("BENCH_LOOKUP", "auto")}
     model = PoseNet(model_cfg)
     img = jnp.zeros((1, H, W, 3), jnp.float32)
     K = np.array([[FX, 0.0, W / 2], [0.0, FX, H / 2], [0.0, 0.0, 1.0]],
