@@ -650,6 +650,12 @@ class RAFT(nn.Module):
     def _resolve_lookup(self) -> str:
         if self.lookup == "auto":
             return "xla" if jax.default_backend() == "cpu" else "onthefly"
+        if self.lookup not in ("onthefly", "lanewise", "grouped", "xla"):
+            # fail fast: an unrecognized value would otherwise silently fall
+            # through to the XLA path and corrupt kernel A/B comparisons
+            raise ValueError(
+                f"unknown correlation lookup {self.lookup!r}; expected one of "
+                "'auto', 'onthefly', 'lanewise', 'grouped', 'xla'")
         return self.lookup
 
     def setup(self):

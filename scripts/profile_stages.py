@@ -202,8 +202,11 @@ def main():
             def body(c, _):
                 net, dflow = blk.apply(v, c["net"], inp, corr_parts,
                                        flow + c["f"])
-                return dict(net=net, f=c["f"] + dflow), None
-            c, _ = jax.lax.scan(body, dict(net=net, f=jnp.zeros_like(flow)),
+                # the block computes in bf16; keep scan carry dtypes fixed
+                return dict(net=net.astype(c["net"].dtype),
+                            f=c["f"] + dflow.astype(c["f"].dtype)), None
+            c, _ = jax.lax.scan(body, dict(net=net.astype(jnp.bfloat16),
+                                           f=jnp.zeros_like(flow)),
                                 None, length=12)
             return c["f"]
 
