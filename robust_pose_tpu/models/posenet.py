@@ -51,6 +51,7 @@ class PoseNetOutputs(NamedTuple):
     feats: Any = None    # (fmap, net, inp) of image2l — feed as ``feats`` of
     # the NEXT infer call (frame t's reference == frame t-1's image) to skip
     # re-encoding the reference image in the streaming loop
+    solver_iters: Any = None  # (B,) int32 realized LM iterations (diagnostic)
 
 
 class PoseNet(nn.Module):
@@ -91,7 +92,12 @@ class PoseNet(nn.Module):
         self._img_coords = create_img_coords(H, W)
         self._pose_layer = make_pose_layer(
             self._img_coords,
-            SolverConfig(iters=self.config.get("lbgfs_iters", 20)),
+            SolverConfig(
+                iters=self.config.get("lbgfs_iters", 20),
+                # benchmark floor switch: False runs every LM iteration to
+                # the cap (no data-dependent early exit)
+                early_exit=self.config.get("solver_early_exit", True),
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -163,14 +169,14 @@ class PoseNet(nn.Module):
         return conf1, conf2, pcl2, mask2
 
     def _solve(self, time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2,
-               intrinsics) -> Tuple[Array, Array]:
+               intrinsics) -> Tuple[Array, Array, Array]:
         b = time_flow.shape[0]
         lw = jnp.broadcast_to(self.loss_weight[None], (b, 2))
         xs = PoseProblemInputs(
             flow=time_flow, pcl1=pcl1, pcl2=pcl2, weights1=conf1, weights2=conf2,
             mask1=mask1, mask2=mask2, intrinsics=intrinsics, loss_weight=lw,
         )
-        return self._pose_layer(xs)
+        return self._pose_layer(xs)  # (pose7, tau6, realized LM iters)
 
     # ------------------------------------------------------------------
     # inference path (reference pose_net.py:60-85)
@@ -227,11 +233,11 @@ class PoseNet(nn.Module):
             pcl1, pcl2, image1l, image2l, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context,
         )
-        pose, pose_tan = self._solve(
+        pose, pose_tan, niter = self._solve(
             time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics
         )
         return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
-                              time_flow, stereo_flow2, feats_out)
+                              time_flow, stereo_flow2, feats_out, niter)
 
     def infer_window(self, limgs, rimgs, masks, intrinsics, baseline,
                      prev_img, prev_depth1, prev_mask, prev_stereo_flow,
@@ -296,12 +302,12 @@ class PoseNet(nn.Module):
             pcl1, pcl2, image1l, limgs, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context,
         )
-        pose, pose_tan = self._solve(
+        pose, pose_tan, niter = self._solve(
             time_flow, pcl1, pcl2_w, conf1, conf2, mask1, mask2_w, K
         )
         feats_out = (fl[-1:], net_u[-1:], inp_u[-1:])
         return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
-                              time_flow, stereo_flow2, feats_out)
+                              time_flow, stereo_flow2, feats_out, niter)
 
     # ------------------------------------------------------------------
     # frame-to-model split (reference pose_net.py:60-85 semantics)
@@ -360,12 +366,12 @@ class PoseNet(nn.Module):
             pcl1, pcl2, ref_img, limg, mask2, time_flow,
             ref_sflow1, stereo_flow2, hidden, context,
         )
-        pose, pose_tan = self._solve(
+        pose, pose_tan, niter = self._solve(
             time_flow, pcl1, pcl2_w, conf1, conf2, ref_mask, mask2_w,
             intrinsics,
         )
         return PoseNetOutputs(pose, pose_tan, ref_depth1, depth2, conf1,
-                              conf2, time_flow, stereo_flow2, None)
+                              conf2, time_flow, stereo_flow2, None, niter)
 
     # ------------------------------------------------------------------
     # training path (reference pose_net.py:29-58)
@@ -407,8 +413,8 @@ class PoseNet(nn.Module):
             pcl1, pcl2, image1l, image2l, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context, train,
         )
-        pose, pose_tan = self._solve(
+        pose, pose_tan, niter = self._solve(
             time_flow, pcl1, pcl2, conf1, conf2, mask1, mask2, intrinsics
         )
         return PoseNetOutputs(pose, pose_tan, depth1, depth2, conf1, conf2,
-                              time_flow, stereo_flow2)
+                              time_flow, stereo_flow2, solver_iters=niter)

@@ -70,6 +70,7 @@ class PoseEstimator:
         self.scene = None
         self._feats = None  # reference-image encoder cache (f2f streaming)
         self._model_frame = None  # carried f2m reference rendering
+        self.last_solver_iters = None  # realized LM iterations (diagnostic)
 
         self._jit_first = jax.jit(self._first_step)
         self._jit_step = jax.jit(self._track_step)
@@ -228,9 +229,10 @@ class PoseEstimator:
                     limg, rimg, mask = fr[:3]
                     new_pose, frame, out, success, st2, mf2, _ = body(
                         variables, pose, st, mf, limg, rimg, mask, fr[3:])
-                    return (new_pose, st2, mf2), (new_pose, success)
+                    return (new_pose, st2, mf2), (new_pose, success,
+                                                  out.solver_iters)
 
-                (pose, st, mf), (poses, succ) = jax.lax.scan(
+                (pose, st, mf), (poses, succ, niter) = jax.lax.scan(
                     scan_body, (last_pose, state, model_frame),
                     (limgs, rimgs, masks, fl[:, None], net_l[:, None],
                      inp_l[:, None], sflow2[:, None], depth2[:, None],
@@ -240,7 +242,7 @@ class PoseEstimator:
                 frame = make_frame(limgs[-1], rimgs[-1],
                                    depth=depth2[-1:] / self.scale,
                                    mask=masks[-1], flow=sflow2[-1:])
-                return pose, st, frame, mf, poses, succ
+                return pose, st, frame, mf, poses, succ, niter
 
             self._f2m_windows[cfg] = jax.jit(window)
         return self._f2m_windows[cfg]
@@ -273,7 +275,7 @@ class PoseEstimator:
         fr_state = make_frame(
             limgs[-1], rimgs[-1], depth=out.depth2[-1:] / self.scale,
             mask=masks[-1], flow=out.stereo_flow2[-1:])
-        return pose, fr_state, out.feats, poses, success
+        return pose, fr_state, out.feats, poses, success, out.solver_iters
 
     def track_window(self, limgs, rimgs, masks):
         """Track a window of frames in one dispatch (streaming mode).
@@ -300,9 +302,10 @@ class PoseEstimator:
             return self._track_window_f2m(limgs, rimgs, masks)
         if self._jit_window is None:
             self._jit_window = jax.jit(self._window_step)
-        (self.last_pose, self.frame, self._feats, poses,
-         succ) = self._jit_window(self.variables, self.last_pose, self.frame,
-                                  self._feats, limgs, rimgs, masks)
+        (self.last_pose, self.frame, self._feats, poses, succ,
+         self.last_solver_iters) = self._jit_window(
+            self.variables, self.last_pose, self.frame, self._feats,
+            limgs, rimgs, masks)
         self.last_frame = self.frame
         self.success = succ[-1]
         return poses, succ
@@ -317,12 +320,13 @@ class PoseEstimator:
 
         def run(state, cfg):
             win = self._get_f2m_window(cfg)
-            (pose, st, frame, mf, poses, succ) = win(
+            (pose, st, frame, mf, poses, succ, niter) = win(
                 self.variables, pre_pose, state, pre_mf, limgs, rimgs,
                 masks)
             self.last_pose, self.frame = pose, frame
             self._model_frame = mf
             result["poses"], result["succ"] = poses, succ
+            self.last_solver_iters = niter
             return st
 
         self.scene.state = run(self.scene.state, self.scene.cfg)
@@ -452,6 +456,7 @@ class PoseEstimator:
         self.last_pose = new_pose
         self.frame = frame
         self.success = success
+        self.last_solver_iters = out.solver_iters
         return self.last_pose, self.scene, out.flow, (out.conf1, out.conf2)
 
     def get_last_frame(self):

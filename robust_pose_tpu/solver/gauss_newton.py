@@ -141,7 +141,11 @@ def _cost(pose: Array, xs: PoseProblemInputs, img_coords: Array) -> Array:
 # ---------------------------------------------------------------------------
 
 def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
-    """Minimize the weighted 2D+3D objective over SE(3); returns (pose7, tau6).
+    """Minimize the weighted 2D+3D objective over SE(3); returns
+    ``(pose7, tau6, iters)`` where ``iters`` (B,) int32 is the REALIZED
+    per-sample LM iteration count (benchmark evidence that early exit is not
+    flattering the numbers — samples still unconverged at the cap report
+    ``cfg.iters``).
 
     Functional analogue of reference ``DPoseSE3Head.solve``
     (core/pose/pose_head.py:60-79): starts at identity, fixed iteration count,
@@ -195,11 +199,13 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
     lam0 = jnp.full((b,), cfg.init_lambda, dtype=dtype)
     trial0, delta0 = propose(H0, g0, lam0, pose0)
     done0 = jnp.zeros((b,), bool)
+    niter0 = jnp.zeros((b,), jnp.int32)
     state0 = (jnp.zeros((), jnp.int32), pose0, cost0, H0, g0, lam0, trial0,
-              delta0, done0)
+              delta0, done0, niter0)
 
     def body(state):
-        it, pose, cost, H, g, lam, trial, delta, done = state
+        it, pose, cost, H, g, lam, trial, delta, done, niter = state
+        niter = niter + (~done).astype(jnp.int32)  # realized per-sample work
         H_t, g_t, cost_t = normal_eq(trial)
         accept = (cost_t < cost) & ~done  # converged samples are frozen
 
@@ -219,19 +225,20 @@ def solve_pose(xs: PoseProblemInputs, img_coords: Array, cfg: SolverConfig):
         step_small = jnp.linalg.norm(delta, axis=-1) <= cfg.tol_step
         done = done | (accept & step_small) | (lam >= 1e6)
         trial, delta = propose(H, g, lam, pose)
-        return it + 1, pose, cost, H, g, lam, trial, delta, done
+        return it + 1, pose, cost, H, g, lam, trial, delta, done, niter
 
     if cfg.early_exit:
         def cond(state):
-            it, *_, done = state
+            it, *rest = state
+            done = rest[-2]
             return (it < cfg.iters) & ~jnp.all(done)
 
-        _, pose, *_ = jax.lax.while_loop(cond, body, state0)
+        state = jax.lax.while_loop(cond, body, state0)
     else:
-        _, pose, *_ = jax.lax.fori_loop(
-            0, cfg.iters, lambda _, s: body(s), state0)
+        state = jax.lax.fori_loop(0, cfg.iters, lambda _, s: body(s), state0)
+    pose, niter = state[1], state[-1]
     pose = se3.normalize(pose)
-    return pose, se3.log(pose)
+    return pose, se3.log(pose), niter
 
 
 # ---------------------------------------------------------------------------
@@ -259,10 +266,12 @@ def _per_sample_hessian(pose_s: Array, xs_s: PoseProblemInputs, img_coords: Arra
 def make_pose_layer(img_coords, cfg: SolverConfig):
     """Build the differentiable declarative pose layer.
 
-    Returns ``layer(xs) -> (pose7 (B,7), tau6 (B,6))`` where gradients flow
-    through ``tau6`` via the implicit function theorem (reference
-    DeclarativeFunctionLie semantics: embedding output carries no gradient,
-    tangent output does — core/optimization/declerative_node_lie.py:224-267).
+    Returns ``layer(xs) -> (pose7 (B,7), tau6 (B,6), iters (B,) int32)``
+    where gradients flow through ``tau6`` via the implicit function theorem
+    (reference DeclarativeFunctionLie semantics: embedding output carries no
+    gradient, tangent output does —
+    core/optimization/declerative_node_lie.py:224-267). ``iters`` is the
+    realized per-sample LM iteration count (diagnostic, non-differentiable).
     """
     img_coords = jnp.asarray(img_coords)
 
@@ -271,12 +280,14 @@ def make_pose_layer(img_coords, cfg: SolverConfig):
         return solve_pose(xs, img_coords, cfg)
 
     def layer_fwd(xs: PoseProblemInputs):
-        pose, tau = solve_pose(xs, img_coords, cfg)
-        return (pose, tau), (pose, xs)
+        pose, tau, niter = solve_pose(xs, img_coords, cfg)
+        return (pose, tau, niter), (pose, xs)
 
     def layer_bwd(res, cts):
         pose, xs = res
-        _, v = cts  # gradients wrt tangent output only (reference semantics)
+        # gradients wrt tangent output only (reference semantics); the int32
+        # iteration count carries a float0 cotangent — dropped
+        _, v, _ = cts
         pose = jax.lax.stop_gradient(pose)
 
         # The incoming cotangent is wrt tau = log(pose), but H lives in the

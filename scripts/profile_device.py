@@ -149,7 +149,7 @@ def main():
                             weights1=w1, weights2=w2, mask1=m, mask2=m,
                             intrinsics=jnp.broadcast_to(K, (b, 3, 3)),
                             loss_weight=lw)
-                        pose, tau = layer(xs)
+                        pose, tau, _ = layer(xs)
                         return chain_scalar(tau)
                     return jax.lax.fori_loop(0, k, body, jnp.float32(0))
                 return f

@@ -63,7 +63,7 @@ def test_objective_zero_at_gt():
 def test_solver_recovers_pose():
     xs, poses, coords = _make_problem(jax.random.PRNGKey(12345))
     cfg = SolverConfig(iters=20)
-    solved, tau = jax.jit(lambda x: solve_pose(x, coords, cfg))(xs)
+    solved, tau, niter = jax.jit(lambda x: solve_pose(x, coords, cfg))(xs)
     loss_pred = objective(xs, solved, coords)
     np.testing.assert_allclose(loss_pred, 0.0, atol=1e-5)
     # supervised tangent distance < 0.05 (reference unit_test_pose_head.py:49-50)
@@ -74,9 +74,26 @@ def test_solver_recovers_pose():
 def test_solver_recovers_larger_pose():
     xs, poses, coords = _make_problem(jax.random.PRNGKey(7), sigma=0.05)
     cfg = SolverConfig(iters=30)
-    solved, tau = jax.jit(lambda x: solve_pose(x, coords, cfg))(xs)
+    solved, tau, niter = jax.jit(lambda x: solve_pose(x, coords, cfg))(xs)
     sup = jnp.abs(tau - se3.log(poses)).sum() / N_BATCH
     assert float(sup) < 0.05, f"tangent distance {sup}"
+
+
+def test_realized_iteration_counts():
+    """solve_pose reports per-sample realized LM iterations (until that
+    sample converged/froze): an easy problem converges well under the cap,
+    and the count is identical with and without the early-exit while_loop
+    (early exit only stops the GLOBAL loop once every sample froze — it
+    never changes any sample's trajectory)."""
+    xs, poses, coords = _make_problem(jax.random.PRNGKey(12345))
+    cfg = SolverConfig(iters=50)
+    _, _, niter = jax.jit(lambda x: solve_pose(x, coords, cfg))(xs)
+    assert niter.shape == (N_BATCH,) and niter.dtype == jnp.int32
+    assert jnp.all(niter >= 1) and jnp.all(niter < 50), niter
+
+    _, tau_f, niter_f = jax.jit(lambda x: solve_pose(
+        x, coords, SolverConfig(iters=50, early_exit=False)))(xs)
+    np.testing.assert_array_equal(niter_f, niter)
 
 
 def test_backward_through_argmin():
@@ -87,7 +104,7 @@ def test_backward_through_argmin():
 
     def loss_fn(loss_weight):
         xs2 = xs._replace(loss_weight=loss_weight)
-        _, tau = layer(xs2)
+        _, tau, _ = layer(xs2)
         return jnp.abs(tau - tau_gt).sum() / N_BATCH
 
     lw = jnp.tile(jnp.array([[0.01, 1.0]]), (N_BATCH, 1))
@@ -119,7 +136,7 @@ def test_backward_weights_grad_nonzero_and_fd_consistent():
                               dtype=jnp.float64)
 
         def loss_fn(w2):
-            _, tau = layer(xs._replace(weights2=w2))
+            _, tau, _ = layer(xs._replace(weights2=w2))
             return jnp.sum(tau * v)
 
         w2 = xs.weights2
@@ -151,7 +168,7 @@ def test_zero_grad_fallback_on_degenerate_problem():
     layer = make_pose_layer(coords, cfg)
 
     def loss_fn(lw):
-        _, tau = layer(xs._replace(loss_weight=lw))
+        _, tau, _ = layer(xs._replace(loss_weight=lw))
         return jnp.sum(tau)
 
     g = jax.jit(jax.grad(loss_fn))(xs.loss_weight)
@@ -166,7 +183,7 @@ def test_solver_under_debug_nans():
     xs, poses, coords = _make_problem(jax.random.PRNGKey(12345))
     cfg = SolverConfig(iters=10)
     with jax.debug_nans(True):
-        solved, tau = solve_pose(xs, coords, cfg)
+        solved, tau, _ = solve_pose(xs, coords, cfg)
         assert jnp.all(jnp.isfinite(solved))
 
 
@@ -232,12 +249,12 @@ def test_solver_pallas_impl_matches_xla_interpret():
 
     pallas_normal_eq.normal_equations_pallas = interp
     try:
-        solved_p, tau_p = solve_pose(xs, coords,
-                                     SolverConfig(iters=15, impl="pallas"))
+        solved_p, tau_p, _ = solve_pose(xs, coords,
+                                        SolverConfig(iters=15, impl="pallas"))
     finally:
         pallas_normal_eq.normal_equations_pallas = orig
-    solved_x, tau_x = solve_pose(xs, coords,
-                                 SolverConfig(iters=15, impl="xla"))
+    solved_x, tau_x, _ = solve_pose(xs, coords,
+                                    SolverConfig(iters=15, impl="xla"))
     np.testing.assert_allclose(tau_p, tau_x, rtol=1e-3, atol=1e-5)
 
 
