@@ -101,12 +101,15 @@ def make_sequence(n_frames, disparity=8, step=3, seed=0):
     return ls.astype(np.uint8), rs.astype(np.uint8)
 
 
-def build_estimator(slam_cfg, disparity=8):
+def build_estimator(slam_cfg, disparity=8, early_exit=True):
     from robust_pose_tpu.models.posenet import PoseNet
     from robust_pose_tpu.slam.pose_estimator import PoseEstimator
 
     model_cfg = {"image_shape": (H, W), "iters": 12,
                  "lbgfs_iters": slam_cfg["lbgfs_iters"], "use_weights": True,
+                 # benchmark-floor switch: False forces every LM iteration
+                 # to the cap (no data-dependent early exit)
+                 "solver_early_exit": early_exit,
                  # correlation-lookup kernel A/B (models/raft.py::RAFT.lookup)
                  "lookup": os.environ.get("BENCH_LOOKUP", "auto")}
     model = PoseNet(model_cfg)
@@ -164,16 +167,35 @@ def bench_stream(est, t_window, n_windows, seed0=1):
     _ = float(jnp.sum(poses))
     dt = (time.perf_counter() - t0) / (n_windows * t_window)
     n_ok = int(sum(int(jnp.sum(s)) for s in succs))
-    return 1.0 / dt, n_ok / (n_windows * t_window)
+    # realized LM iterations for the LAST window (diagnostic readback after
+    # the timed loop — proves what the data-dependent early exit actually
+    # did vs the lbgfs_iters cap)
+    it = np.asarray(est.last_solver_iters).reshape(-1)
+    iters = {"mean": round(float(it.mean()), 2), "max": int(it.max()),
+             "min": int(it.min())}
+    return 1.0 / dt, n_ok / (n_windows * t_window), iters
 
 
 def main():
     # frame-to-frame, production configuration/infer_f2f.yaml
-    f2f = build_estimator({
+    f2f_cfg = {
         "frame2frame": True, "lbgfs_iters": 20, "conf_weighing": True,
         "depth_clipping": [1, 250], "dist_thr": 0.05, "average_pts": False,
-    })
-    f2f_fps, f2f_ok = bench_stream(f2f, t_window=F2F_WINDOW, n_windows=6)
+    }
+    f2f = build_estimator(f2f_cfg)
+    f2f_fps, f2f_ok, f2f_iters = bench_stream(f2f, t_window=F2F_WINDOW,
+                                              n_windows=6)
+    del f2f
+
+    # early-exit-off floor: same program but every LM iteration runs to the
+    # lbgfs_iters=20 cap — the pessimistic bound that does NOT depend on the
+    # benchmark data being well-conditioned (set BENCH_SKIP_FLOOR=1 to skip)
+    f2f_floor = None
+    if not os.environ.get("BENCH_SKIP_FLOOR"):
+        floor_est = build_estimator(f2f_cfg, early_exit=False)
+        f2f_floor, _, _ = bench_stream(floor_est, t_window=F2F_WINDOW,
+                                       n_windows=4)
+        del floor_est
 
     # frame-to-model, production configuration/infer_scared.yaml (iters=100).
     # The pool is pre-sized to its cap: the synthetic sequence appends
@@ -189,10 +211,10 @@ def main():
         # slam/surfel_map.py::SurfelConfig.winner)
         "winner": os.environ.get("BENCH_F2M_WINNER", "scatter"),
     })
-    f2m_fps, f2m_ok = bench_stream(f2m, t_window=F2M_WINDOW, n_windows=4,
-                                   seed0=11)
+    f2m_fps, f2m_ok, f2m_iters = bench_stream(f2m, t_window=F2M_WINDOW,
+                                              n_windows=4, seed0=11)
 
-    print(json.dumps({
+    out = {
         "metric": "stereomis_tracking_fps_512x640_streaming",
         "value": round(f2f_fps, 3),
         "unit": "frames/s",
@@ -200,7 +222,13 @@ def main():
         "f2m_fps_iters100": round(f2m_fps, 3),
         "f2f_success_rate": round(f2f_ok, 3),
         "f2m_success_rate": round(f2m_ok, 3),
-    }))
+        # realized LM iterations (last window) vs the caps (20 f2f / 100 f2m)
+        "f2f_lm_iters": f2f_iters,
+        "f2m_lm_iters": f2m_iters,
+    }
+    if f2f_floor is not None:
+        out["f2f_fps_noearlyexit"] = round(f2f_floor, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

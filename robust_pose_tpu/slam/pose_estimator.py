@@ -76,7 +76,7 @@ class PoseEstimator:
         self._jit_step = jax.jit(self._track_step)
         self._f2m_steps = {}    # SurfelConfig -> jitted fused f2m step
         self._f2m_windows = {}  # SurfelConfig -> jitted f2m window scan
-        self._jit_window = None  # built lazily (windowed f2f streaming)
+        self._jit_windows = {}  # diag -> jitted f2f window (built lazily)
 
     # ------------------------------------------------------------------
     # jitted step functions
@@ -206,14 +206,18 @@ class PoseEstimator:
             self._f2m_steps[cfg] = jax.jit(full)
         return self._f2m_steps[cfg]
 
-    def _get_f2m_window(self, cfg):
+    def _get_f2m_window(self, cfg, diag=False):
         """Jitted f2m window: the map-independent work (input-frame encoders,
         stereo flow -> depth) runs BATCHED over all T frames up front
         (PoseNet.f2m_precompute); the lax.scan keeps only what truly depends
         on the fused map — rendered-reference encode, temporal GRU, solve,
         fuse+render — with (pose, surfel state, model frame) as carries.
-        Identical math to the per-frame f2m step (equivalence-tested)."""
-        if cfg not in self._f2m_windows:
+        Identical math to the per-frame f2m step (equivalence-tested).
+        With ``diag`` the scan additionally stacks per-frame flow/confidence
+        maps as outputs (viewer/logger data; dead-code-eliminated otherwise).
+        """
+        key = (cfg, diag)
+        if key not in self._f2m_windows:
             body = self._f2m_body(cfg)
 
             def window(variables, last_pose, state, model_frame,
@@ -229,23 +233,31 @@ class PoseEstimator:
                     limg, rimg, mask = fr[:3]
                     new_pose, frame, out, success, st2, mf2, _ = body(
                         variables, pose, st, mf, limg, rimg, mask, fr[3:])
-                    return (new_pose, st2, mf2), (new_pose, success,
-                                                  out.solver_iters)
+                    ys = (new_pose, success, out.solver_iters)
+                    if diag:
+                        ys += ((out.flow[0], out.conf1[0], out.conf2[0]),)
+                    return (new_pose, st2, mf2), ys
 
-                (pose, st, mf), (poses, succ, niter) = jax.lax.scan(
+                (pose, st, mf), ys = jax.lax.scan(
                     scan_body, (last_pose, state, model_frame),
                     (limgs, rimgs, masks, fl[:, None], net_l[:, None],
                      inp_l[:, None], sflow2[:, None], depth2[:, None],
                      mask2[:, None]))
+                poses, succ, niter = ys[:3]
                 # the final frame state is map-independent — built from the
                 # batched pre-pass, not materialized per scan step
                 frame = make_frame(limgs[-1], rimgs[-1],
                                    depth=depth2[-1:] / self.scale,
                                    mask=masks[-1], flow=sflow2[-1:])
-                return pose, st, frame, mf, poses, succ, niter
+                out = (pose, st, frame, mf, poses, succ, niter)
+                if diag:
+                    flow, conf1, conf2 = ys[3]
+                    out += ({"flow": flow, "conf1": conf1, "conf2": conf2,
+                             "depth": depth2 / self.scale},)
+                return out
 
-            self._f2m_windows[cfg] = jax.jit(window)
-        return self._f2m_windows[cfg]
+            self._f2m_windows[key] = jax.jit(window)
+        return self._f2m_windows[key]
 
     def _window_step(self, variables, last_pose, frame, feats, limgs, rimgs,
                      masks):
@@ -275,19 +287,27 @@ class PoseEstimator:
         fr_state = make_frame(
             limgs[-1], rimgs[-1], depth=out.depth2[-1:] / self.scale,
             mask=masks[-1], flow=out.stereo_flow2[-1:])
-        return pose, fr_state, out.feats, poses, success, out.solver_iters
+        # per-frame diagnostics for viewers/loggers: already computed by the
+        # batched window pass, materialized as outputs only in diag mode
+        diag = {"flow": out.flow, "conf1": out.conf1, "conf2": out.conf2,
+                "depth": out.depth2 / self.scale}
+        return (pose, fr_state, out.feats, poses, success, out.solver_iters,
+                diag)
 
-    def track_window(self, limgs, rimgs, masks):
+    def track_window(self, limgs, rimgs, masks, diagnostics=False):
         """Track a window of frames in one dispatch (streaming mode).
 
         :param limgs/rimgs: (T, 1, 3, H, W) or (T, 1, H, W, 3) stereo frames
         :param masks: (T, 1, 1, H, W) or (T, 1, 1, H, W) or (T, 1, H, W, 1)
-        :return: (poses (T, 1, 7) absolute SE(3) vecs, successes (T,) bool)
-        Requires the first frame to have been processed via ``__call__``;
-        per-frame diagnostics (flow/confidence maps for viewers) are not
-        materialized — use the per-frame API for those. Works for both f2f
-        (frame state + feature cache as scan carries) and f2m (surfel map as
-        a scan carry; render+track+fuse per scan step).
+        :param diagnostics: also return the per-frame viewer/logger data the
+            window pass computes anyway — dict of ``flow`` (T, H, W, 2),
+            ``conf1``/``conf2``/``depth`` (T, H, W, 1), all device arrays
+            (ONE bulk readback beats T per-frame syncs on a remote chip)
+        :return: (poses (T, 1, 7) absolute SE(3) vecs, successes (T,) bool
+            [, diagnostics dict])
+        Requires the first frame to have been processed via ``__call__``.
+        Works for both f2f (frame state + feature cache as scan carries) and
+        f2m (surfel map as a scan carry; render+track+fuse per scan step).
         """
         assert self.frame is not None, "process the first frame via __call__"
         limgs = jnp.asarray(limgs, jnp.float32)
@@ -299,18 +319,27 @@ class PoseEstimator:
         if masks.shape[-1] != 1:
             masks = masks.transpose(0, 1, 3, 4, 2)
         if not self.frame2frame:
-            return self._track_window_f2m(limgs, rimgs, masks)
-        if self._jit_window is None:
-            self._jit_window = jax.jit(self._window_step)
-        (self.last_pose, self.frame, self._feats, poses, succ,
-         self.last_solver_iters) = self._jit_window(
+            return self._track_window_f2m(limgs, rimgs, masks, diagnostics)
+        if diagnostics not in self._jit_windows:
+            step = self._window_step
+            if diagnostics:
+                fn = step
+            else:  # drop the diag outputs BEFORE jit so XLA DCEs the work
+                def fn(*a):
+                    return step(*a)[:-1]
+            self._jit_windows[diagnostics] = jax.jit(fn)
+        res = self._jit_windows[diagnostics](
             self.variables, self.last_pose, self.frame, self._feats,
             limgs, rimgs, masks)
+        (self.last_pose, self.frame, self._feats, poses, succ,
+         self.last_solver_iters) = res[:6]
         self.last_frame = self.frame
         self.success = succ[-1]
+        if diagnostics:
+            return poses, succ, res[6]
         return poses, succ
 
-    def _track_window_f2m(self, limgs, rimgs, masks):
+    def _track_window_f2m(self, limgs, rimgs, masks, diagnostics=False):
         """f2m windowed streaming with bucket maintenance: if the surfel pool
         overflowed its capacity bucket mid-window, grow it and re-run the
         (pure) window from the pre-window carries — lossless, exact."""
@@ -319,13 +348,15 @@ class PoseEstimator:
         result = {}
 
         def run(state, cfg):
-            win = self._get_f2m_window(cfg)
-            (pose, st, frame, mf, poses, succ, niter) = win(
-                self.variables, pre_pose, state, pre_mf, limgs, rimgs,
-                masks)
+            win = self._get_f2m_window(cfg, diagnostics)
+            (pose, st, frame, mf, poses, succ, niter,
+             *diag) = win(self.variables, pre_pose, state, pre_mf, limgs,
+                          rimgs, masks)
             self.last_pose, self.frame = pose, frame
             self._model_frame = mf
             result["poses"], result["succ"] = poses, succ
+            if diag:
+                result["diag"] = diag[0]
             self.last_solver_iters = niter
             return st
 
@@ -333,6 +364,8 @@ class PoseEstimator:
         self.scene.post_fuse(pre_state, run, frames=limgs.shape[0])
         self.last_frame = self.frame
         self.success = result["succ"][-1]
+        if diagnostics:
+            return result["poses"], result["succ"], result["diag"]
         return result["poses"], result["succ"]
 
     def _model_frame_f2m(self):

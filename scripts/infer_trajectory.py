@@ -102,16 +102,21 @@ def main(args, config):
     timer = StageTimer()
 
     window = max(1, getattr(args, "window", 1))
-    if window > 1 and (args.viewer != "none" or args.log is not None):
-        warnings.warn("--window streaming materializes no per-frame "
-                      "diagnostics for viewers/logging; falling back to "
-                      "per-frame tracking.")
-        window = 1
+    # windowed streaming + viewers/logging: the batched window pass computes
+    # the per-frame flow/confidence/depth maps anyway; diagnostics mode
+    # materializes them as outputs and reads the whole window back in ONE
+    # bulk transfer, so interactive runs keep the windowed dispatch rate
+    # instead of falling back to the ~2x slower per-frame sync path
+    diag_mode = window > 1 and (args.viewer != "none" or args.log is not None)
 
     trajectory = [{"camera-pose": np.asarray(pose_estimator.last_pose[0]),
                    "timestamp": args.start}]
     scene = None
-    buf = []  # (limg, rimg, mask, img_number) awaiting a windowed dispatch
+    buf = []  # (limg, rimg, mask, img_number, idx) awaiting a window dispatch
+
+    def _nhwc(img):
+        return img if img.shape[-1] in (1, 3) else np.transpose(
+            np.asarray(img), (0, 2, 3, 1))
 
     def flush_window():
         # device-preproc outputs are already on device: stack there (np.stack
@@ -120,12 +125,41 @@ def main(args, config):
         limgs = xp.stack([b[0] for b in buf])
         rimgs = xp.stack([b[1] for b in buf])
         masks = xp.stack([b[2] for b in buf])
+        diag = None
         with timer.stage("track"):
-            poses, succ = pose_estimator.track_window(limgs, rimgs, masks)
+            if diag_mode:
+                poses, succ, diag = pose_estimator.track_window(
+                    limgs, rimgs, masks, diagnostics=True)
+            else:
+                poses, succ = pose_estimator.track_window(limgs, rimgs, masks)
         with timer.stage("readback"):
             poses_np = np.asarray(poses)
-        for (_, _, _, num), p in zip(buf, poses_np):
+            if diag is not None:
+                diag = jax.device_get(diag)  # one bulk transfer per window
+        scene_w = pose_estimator.scene
+        pcd = None
+        for t, (b, p) in enumerate(zip(buf, poses_np)):
+            num, idx = b[3], b[4]
             trajectory.append({"camera-pose": p[0], "timestamp": num})
+            if viewer is not None:
+                if args.viewer == "2d":
+                    from types import SimpleNamespace
+                    frame_t = SimpleNamespace(img=_nhwc(b[0]),
+                                              depth=diag["depth"][t:t + 1])
+                    viewer(frame_t,
+                           (diag["conf1"][t:t + 1], diag["conf2"][t:t + 1]),
+                           diag["flow"][t:t + 1], idx * args.step)
+                elif scene_w is not None:
+                    # camera follows per frame; the surfel cloud (only its
+                    # post-window state is materialized) refreshes per window
+                    from robust_pose_tpu.viewer.viewer3d import surfels_to_open3d
+                    if pcd is None:
+                        pcd = surfels_to_open3d(
+                            scene_w.state, depth_scale=scene_w.depth_scale,
+                            stable=True)
+                    viewer(p[0], pcd)
+            if args.log is not None:
+                recorder(scene_w, p[0], step=int(num))
         buf.clear()
 
     # decode/rectify the next frames on a background thread while the
@@ -144,7 +178,7 @@ def main(args, config):
         rimg = rimg[None] if rimg.ndim == 3 else rimg
         mask = mask[None] if mask.ndim == 3 else mask
         if window > 1 and i > 0:
-            buf.append((limg, rimg, mask, img_number))
+            buf.append((limg, rimg, mask, img_number, i))
             if len(buf) == window:
                 flush_window()
             continue
@@ -234,7 +268,9 @@ if __name__ == "__main__":
                         help="track N frames per compiled dispatch "
                         "(streaming mode, f2f and f2m; amortizes dispatch "
                         "overhead — use 8 for real-time throughput on TPU; "
-                        "incompatible with viewers/logging)")
+                        "with viewers/logging the per-frame flow/confidence "
+                        "maps are materialized by the window pass and read "
+                        "back in one bulk transfer)")
     parser.add_argument("--device-preproc", action="store_true",
                         dest="device_preproc",
                         help="run specularity masking, resize, and the "

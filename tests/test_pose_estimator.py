@@ -156,6 +156,62 @@ def test_track_window_matches_per_frame_f2m(checkpoint):
         rtol=1e-3)
 
 
+def test_track_window_diagnostics(checkpoint):
+    """``diagnostics=True`` must return the per-frame flow/confidence/depth
+    maps (viewer/logger data) equal to the per-frame path's, while keeping
+    the windowed dispatch (scripts/infer_trajectory.py feeds viewers from
+    this single bulk readback instead of falling back to per-frame sync)."""
+    K = np.array([[100.0, 0, W / 2], [0, 100.0, H / 2], [0, 0, 1.0]])
+    mask = np.ones((1, 1, H, W), bool)
+    frames = _frames(3)
+
+    est_a = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    flows, confs, depths = [], [], []
+    for limg, rimg in frames:
+        pose, scene, flow, weights = est_a(limg, rimg, mask)
+        # first frame initializes only (no tracking -> no flow/weights)
+        flows.append(None if flow is None else np.asarray(flow[0]))
+        confs.append(None if weights is None else np.asarray(weights[0][0]))
+        depths.append(np.asarray(est_a.frame.depth[0]))
+
+    est_b = PoseEstimator(_slam_cfg(True), K, baseline=7500.0,
+                          checkpoint=checkpoint, img_shape=(W, H))
+    est_b(*frames[0], mask)
+    limgs = np.stack([f[0] for f in frames[1:]])
+    rimgs = np.stack([f[1] for f in frames[1:]])
+    masks = np.stack([mask] * 2)
+    poses_w, succ, diag = est_b.track_window(limgs, rimgs, masks,
+                                             diagnostics=True)
+    assert diag["flow"].shape == (2, H, W, 2)
+    assert diag["conf1"].shape == (2, H, W, 1)
+    assert diag["depth"].shape == (2, H, W, 1)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(diag["flow"][i]), flows[i + 1],
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(diag["conf1"][i]), confs[i + 1],
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(diag["depth"][i]),
+                                   depths[i + 1], rtol=1e-4, atol=1e-5)
+
+    # f2m: diag rides the scan ys; same per-frame data, same shapes
+    cfg = dict(_slam_cfg(False), map_capacity=8 * H * W)
+    est_c = PoseEstimator(cfg, K, baseline=7500.0, checkpoint=checkpoint,
+                          img_shape=(W, H))
+    fm_flows = []
+    for limg, rimg in frames:
+        _, _, flow, _ = est_c(limg, rimg, mask)
+        fm_flows.append(None if flow is None else np.asarray(flow[0]))
+    est_d = PoseEstimator(cfg, K, baseline=7500.0, checkpoint=checkpoint,
+                          img_shape=(W, H))
+    est_d(*frames[0], mask)
+    _, _, diag_m = est_d.track_window(limgs, rimgs, masks, diagnostics=True)
+    assert diag_m["flow"].shape == (2, H, W, 2)
+    for i in range(2):
+        np.testing.assert_allclose(np.asarray(diag_m["flow"][i]),
+                                   fm_flows[i + 1], rtol=1e-4, atol=1e-3)
+
+
 def _frames_with_jump(n=5, jump_at=3, jump=90):
     """Like _frames but one frame teleports by ``jump`` px — far beyond the
     |log(rel)| > 0.1 failure threshold (reference pose_estimator.py:81-87),
