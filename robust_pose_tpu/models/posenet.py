@@ -401,6 +401,21 @@ class PoseNet(nn.Module):
         stereo_flow1, stereo_flow2, time_flow = flows[:b], flows[b:2 * b], flows[2 * b:]
         hidden, context = hidden[2 * b:], context[2 * b:]
 
+        if self.config.get("stop_flow_grad", False):
+            # While RAFT is frozen (reference freeze_flow with
+            # freeze_flow_steps ~ infinity, train_posenet.py:75,98-99) every
+            # trainable parameter — the TinyUNet heads and loss_weight — sits
+            # DOWNSTREAM of the flow network, so gradients flowing back into
+            # RAFT can only reach frozen leaves the optimizer mask zeroes
+            # anyway. Cutting them here is exact for the frozen phase and
+            # deletes the entire RAFT backward (the 12-iteration GRU scan's
+            # stored/rematerialized conv activations — the reason the
+            # no-remat step needed 267.5 GiB).
+            stop = jax.lax.stop_gradient
+            stereo_flow1, stereo_flow2, time_flow = (
+                stop(stereo_flow1), stop(stereo_flow2), stop(time_flow))
+            hidden, context = stop(hidden), stop(context)
+
         depth1, valid1 = self.disparity_to_depth(stereo_flow1, baseline)
         depth2, valid2 = self.disparity_to_depth(stereo_flow2, baseline)
         mask1 = (mask1 & valid1) if mask1 is not None else valid1

@@ -112,22 +112,45 @@ class PoseNetTrainer:
         self.config = config
         model_cfg = dict(config["model"])
         model_cfg["image_shape"] = tuple(config["image_shape"])
+        # While RAFT stays frozen for the WHOLE run (the reference's
+        # published config: freeze_flow with freeze_flow_steps ~ infinity,
+        # train_posenet.py:75,98-99 + configuration/train.yaml), gradients
+        # into the flow network are exactly dead — every trainable leaf is
+        # downstream — so the train step cuts them at the RAFT output
+        # boundary (models/posenet.py stop_flow_grad) instead of computing
+        # a full RAFT backward whose result the optimizer mask zeroes.
+        # With a finite freeze_flow_steps (mid-run unfreeze) the gradients
+        # become live, so the cut is disabled and the mask carries the
+        # freeze semantics alone.
+        stop_flow = config["train"].get(
+            "stop_flow_grad",
+            freeze_flow and config["train"].get("freeze_flow_steps",
+                                                None) is None)
+        model_cfg.setdefault("stop_flow_grad", stop_flow)
         # rematerialize the GRU-iteration + encoder activations in the
         # backward pass: MEASURED on one v5e (scripts/bench_train_step.py),
         # batch 8 at 512x640 without remat needs 267.5 GiB of HBM (XLA
         # refuses to compile; 12 scan iterations of stored conv
         # activations) vs the chip's 15.75 GiB; with remat it compiles at
-        # 15.10 GiB peak (13.23 GiB with train.grad_accum=2).
+        # 15.10 GiB peak (13.23 GiB with train.grad_accum=2). With
+        # stop_flow_grad those activations have no backward consumers at
+        # all, so remat defaults OFF on that path.
         # CPU CI skips it (no memory ceiling; remat doubles test wall time)
-        model_cfg.setdefault("remat", jax.default_backend() != "cpu")
-        # training differentiates the correlation lookup: the one-hot-matmul
-        # XLA formulation is fully differentiable with the volume stored ONCE
-        # outside the GRU scan (bf16), and its forward cost is negligible
-        # against the train step. (The Pallas kernels' custom VJPs don't
-        # compose with nn.remat's replay — Mosaic rejects the re-traced
-        # kernel — and onthefly's backward would rebuild f32 volumes per
-        # iteration.)
-        model_cfg.setdefault("lookup", "xla")
+        model_cfg.setdefault(
+            "remat",
+            jax.default_backend() != "cpu" and not model_cfg["stop_flow_grad"])
+        # Correlation lookup in training: with stop_flow_grad the lookup
+        # sits in a gradient-dead region — no VJP is ever taken through it —
+        # so the production Pallas kernels run as-is ("auto"). When RAFT
+        # gradients are live (finite freeze_flow_steps), training
+        # differentiates the lookup and pins the one-hot-matmul XLA
+        # formulation: fully differentiable with the volume stored ONCE
+        # outside the GRU scan (bf16), forward cost negligible against the
+        # step. (The Pallas kernels' custom VJPs don't compose with
+        # nn.remat's replay — Mosaic rejects the re-traced kernel — and
+        # onthefly's backward would rebuild f32 volumes per iteration.)
+        model_cfg.setdefault("lookup",
+                             "auto" if model_cfg["stop_flow_grad"] else "xla")
         self.model = PoseNet(model_cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
         self.freeze_flow = freeze_flow

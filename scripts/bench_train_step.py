@@ -24,7 +24,8 @@ from functools import partial
 H, W = 512, 640
 
 
-def build(batch, remat, accum=1, remat_policy="nothing"):
+def build(batch, remat, accum=1, remat_policy="nothing",
+          stop_flow_grad=True):
     from robust_pose_tpu.train.trainer import PoseNetTrainer
 
     config = {
@@ -35,7 +36,7 @@ def build(batch, remat, accum=1, remat_policy="nothing"):
         "depth_scale": 250,
         "train": {"batch_size": batch, "learning_rate": 1e-5,
                   "weight_decay": 5e-5, "epsilon": 1e-8, "grad_clip": 1.0,
-                  "grad_accum": accum},
+                  "grad_accum": accum, "stop_flow_grad": stop_flow_grad},
         "val": {"batch_size": batch},
     }
     trainer = PoseNetTrainer(config)
@@ -87,6 +88,10 @@ def main():
     ap.add_argument("--remat_policy", default="nothing",
                     choices=["nothing", "dots"],
                     help="what remat may keep instead of recomputing")
+    ap.add_argument("--live-flow-grads", action="store_true",
+                    help="disable the frozen-RAFT stop_flow_grad cut "
+                         "(measures the finite-freeze_flow_steps path: a "
+                         "full RAFT backward whose grads the mask zeroes)")
     args = ap.parse_args()
 
     from robust_pose_tpu.parallel.mesh import shard_batch
@@ -95,14 +100,31 @@ def main():
     # (the XLA TPU compiler refuses outright when the program exceeds HBM,
     # so a compile failure IS the measurement — extract the usage line)
     if not args.skip_noremat:
-        trainer, state = build(args.batch, remat=False)
+        trainer, state = build(args.batch, remat=False,
+                               stop_flow_grad=not args.live_flow_grads)
         step = trainer.make_train_step()
         batch = shard_batch(trainer.mesh, make_batch(args.batch))
         t0 = time.time()
         try:
             compiled = step.lower(state, batch).compile()
             print(f"[no-remat] compile {time.time() - t0:.0f} s", flush=True)
-            report_memory(f"no-remat batch {args.batch}", compiled)
+            total = report_memory(f"no-remat batch {args.batch}", compiled)
+            if total < 15.0 * (1 << 30):
+                # fits (the stop_flow_grad path: no RAFT backward, nothing
+                # to rematerialize) — time it too
+                batches = [jax.block_until_ready(
+                    shard_batch(trainer.mesh, make_batch(args.batch, k)))
+                    for k in (2, 3)]
+                state, metrics = compiled(state, batches[0])
+                _ = float(metrics["train/loss_total"])
+                t0 = time.perf_counter()
+                for i in range(args.steps):
+                    state, metrics = compiled(state, batches[i % 2])
+                _ = float(metrics["train/loss_total"])
+                dt = (time.perf_counter() - t0) / args.steps
+                print(f"train step batch {args.batch} @ {H}x{W} (no remat): "
+                      f"{dt * 1000:.0f} ms/step = "
+                      f"{args.batch / dt:.2f} samples/s", flush=True)
             del compiled
         except Exception as e:  # jax.errors.JaxRuntimeError on OOM
             import re
@@ -117,7 +139,8 @@ def main():
 
     # --- remat ON: memory analysis + timed execution ------------------
     trainer, state = build(args.batch, remat=True, accum=args.accum,
-                           remat_policy=args.remat_policy)
+                           remat_policy=args.remat_policy,
+                           stop_flow_grad=not args.live_flow_grads)
     step = trainer.make_train_step()
     batch = shard_batch(trainer.mesh, make_batch(args.batch))
     t0 = time.time()

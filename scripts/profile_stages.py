@@ -24,6 +24,19 @@ H, W = 512, 640
 H8, W8 = H // 8, W // 8
 
 
+def _cost_str(fn, args):
+    """flops + XLA bytes-accessed of the compiled stage (post-fusion operand
+    +output traffic; HBM-conservative — VMEM-resident reuse is overcounted)."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return (f"  {ca.get('flops', 0) / 1e9:8.1f} GF "
+                f"{ca.get('bytes accessed', 0) / 1e9:8.2f} GB")
+    except Exception:
+        return ""
+
+
 def timed(fn, make_inputs, n=8, name=""):
     """Pipelined timing: dispatch all, block on last output."""
     batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
@@ -37,7 +50,7 @@ def timed(fn, make_inputs, n=8, name=""):
         out = fn(*batches[i])
     _ = _np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     dt = (time.perf_counter() - t0) / n * 1000.0
-    print(f"{name:36s} {dt:8.2f} ms")
+    print(f"{name:36s} {dt:8.2f} ms{_cost_str(fn, batches[-1])}")
     return dt
 
 

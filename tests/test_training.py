@@ -204,6 +204,43 @@ def test_flow_unfreeze_schedule(trainer_and_state):
         "flow params must move after freeze_flow_steps"
 
 
+def test_stop_flow_grad_exact(trainer_and_state):
+    """While RAFT is frozen forever, cutting gradients at the RAFT output
+    boundary (model stop_flow_grad — the production default, which deletes
+    the entire RAFT backward) must leave every TRAINABLE parameter's update
+    unchanged: all trainable leaves (weight heads, loss_weight) are
+    downstream of the flow net, and the optimizer mask zeroes the flow grads
+    BEFORE the global-norm clip either way."""
+    import copy
+
+    _, _, mesh = trainer_and_state
+    states = []
+    for stop in (False, True):
+        cfg = copy.deepcopy(CONFIG)
+        cfg["model"].update(use_weights=True, unet_levels=1)
+        cfg["train"]["stop_flow_grad"] = stop
+        tr = PoseNetTrainer(cfg, mesh=mesh)
+        assert tr.model.config["stop_flow_grad"] is stop
+        st = tr.init_state(jax.random.PRNGKey(0))
+        st.params["flow"]["update"]["update_block"]["flow_head"]["conv2"][
+            "bias"] = jnp.array([-2.5, 0.0])
+        batch = shard_batch(mesh, _batch(jax.random.PRNGKey(8)))
+        new_st, _ = tr.make_train_step()(st, batch)
+        states.append(new_st)
+    ref, cut = states
+    np.testing.assert_allclose(
+        np.asarray(ref.params["loss_weight"]),
+        np.asarray(cut.params["loss_weight"]), rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(ref.params["weight_head_2d"]["unet"]["head"]["kernel"]),
+        np.asarray(cut.params["weight_head_2d"]["unet"]["head"]["kernel"]),
+        rtol=1e-5, atol=1e-8)
+    # flow params identical (frozen) in both
+    np.testing.assert_array_equal(
+        np.asarray(ref.params["flow"]["fnet"]["conv1"]["kernel"]),
+        np.asarray(cut.params["flow"]["fnet"]["conv1"]["kernel"]))
+
+
 @pytest.mark.heavy
 def test_train_step_with_weight_heads(trainer_and_state):
     """SPMD training step WITH the confidence weight heads + their BatchNorm
