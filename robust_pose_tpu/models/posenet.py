@@ -125,29 +125,30 @@ class PoseNet(nn.Module):
         depth = jnp.where(valid, depth, 1.0)
         return depth[..., None], valid[..., None]
 
-    def get_weight_maps(self, pcl1, pcl2, image1l, image2l, mask2, time_flow,
-                        stereo_flow1, stereo_flow2, hidden, context,
-                        train: bool = False):
+    def get_weight_maps(self, pcl1, depth2, intrinsics, image1l, image2l,
+                        mask2, time_flow, stereo_flow1, stereo_flow2, hidden,
+                        context, train: bool = False):
         """Warp frame-2 quantities into frame-1 correspondence and predict
         2D/3D confidence maps (reference pose_net.py:102-119).
 
         TPU warp cost is gather-bytes-bound, so only what the solver consumes
-        at full resolution (pcl2 + the nearest-sampled mask, fused into ONE
-        quad-row gather) is warped densely; the image/stereo-flow channels
-        are consumed exclusively through the 1/8 bilinear downsample, whose
-        taps touch just rows/cols {8i+3, 8i+4} — their warp runs at 1/16 of
-        the samples (ops/warp.warp_then_eighth, exact)."""
+        at full resolution is warped densely — and that warp fetches ONE
+        packed channel: rays are affine in pixel coords, so the bilinear
+        point-cloud warp reduces exactly to depth-moment sums with the
+        nearest-sampled mask riding in the depth mantissa LSB
+        (ops/warp.warp_pcl_mask; frame 2's cloud is never materialized at
+        full res). The image/stereo-flow channels are consumed exclusively
+        through the 1/8 bilinear downsample, whose taps touch just rows/cols
+        {8i+3, 8i+4} — their warp runs at 1/16 of the samples
+        (ops/warp.warp_then_eighth, exact)."""
         from robust_pose_tpu.ops.warp import (
             eighth_from_fullres_warp,
-            warp_bilinear_nearest,
+            warp_pcl_mask,
             warp_then_eighth,
         )
 
-        pcl2_w, _, mask2f, valid_mapping = warp_bilinear_nearest(
-            pcl2, mask2.astype(jnp.float32), time_flow
-        )
+        pcl2_w, mask2 = warp_pcl_mask(depth2, mask2, time_flow, intrinsics)
         pcl2 = pcl2_w
-        mask2 = valid_mapping & (mask2f > 0)
 
         if self.config.get("use_weights", True):
             inp1 = _resize_eighth(
@@ -227,10 +228,9 @@ class PoseNet(nn.Module):
         depth2, valid2 = self.disparity_to_depth(stereo_flow2, baseline)
         mask2 = mask2 & valid2
         pcl1 = depth_to_pcl(depth1, intrinsics, self._img_coords)
-        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
 
         conf1, conf2, pcl2, mask2 = self.get_weight_maps(
-            pcl1, pcl2, image1l, image2l, mask2, time_flow,
+            pcl1, depth2, intrinsics, image1l, image2l, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context,
         )
         pose, pose_tan, niter = self._solve(
@@ -296,10 +296,9 @@ class PoseNet(nn.Module):
 
         K = jnp.broadcast_to(intrinsics, (t,) + intrinsics.shape[-2:])
         pcl1 = depth_to_pcl(depth1, K, self._img_coords)
-        pcl2 = depth_to_pcl(depth2, K, self._img_coords)
 
         conf1, conf2, pcl2_w, mask2_w = self.get_weight_maps(
-            pcl1, pcl2, image1l, limgs, mask2, time_flow,
+            pcl1, depth2, K, image1l, limgs, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context,
         )
         pose, pose_tan, niter = self._solve(
@@ -361,9 +360,8 @@ class PoseNet(nn.Module):
             f1, fmap_l, net1, inp1)
 
         pcl1 = depth_to_pcl(ref_depth1, intrinsics, self._img_coords)
-        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
         conf1, conf2, pcl2_w, mask2_w = self.get_weight_maps(
-            pcl1, pcl2, ref_img, limg, mask2, time_flow,
+            pcl1, depth2, intrinsics, ref_img, limg, mask2, time_flow,
             ref_sflow1, stereo_flow2, hidden, context,
         )
         pose, pose_tan, niter = self._solve(
@@ -422,10 +420,9 @@ class PoseNet(nn.Module):
         mask2 = (mask2 & valid2) if mask2 is not None else valid2
 
         pcl1 = depth_to_pcl(depth1, intrinsics, self._img_coords)
-        pcl2 = depth_to_pcl(depth2, intrinsics, self._img_coords)
 
         conf1, conf2, pcl2, mask2 = self.get_weight_maps(
-            pcl1, pcl2, image1l, image2l, mask2, time_flow,
+            pcl1, depth2, intrinsics, image1l, image2l, mask2, time_flow,
             stereo_flow1, stereo_flow2, hidden, context, train,
         )
         pose, pose_tan, niter = self._solve(

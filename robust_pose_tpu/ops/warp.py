@@ -181,6 +181,104 @@ def warp_bilinear_nearest(x: Array, nearest_x: Array, flow: Array):
     return out, valid, near, near_valid
 
 
+@jax.custom_jvp
+def _pack_mask_lsb(depth: Array, mask: Array) -> Array:
+    """Hide a boolean in bit 0 of the f32 depth mantissa (payload packing for
+    the single-channel warp gather). Perturbs depth by at most one ulp
+    (<= 2^-24 relative for normalized depth in (0, 1]); differentiation
+    treats the packing as identity in ``depth`` (exact to the same ulp)."""
+    u = jax.lax.bitcast_convert_type(depth, jnp.uint32)
+    u = (u & jnp.uint32(0xFFFFFFFE)) | mask.astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(u, jnp.float32)
+
+
+@_pack_mask_lsb.defjvp
+def _pack_mask_lsb_jvp(primals, tangents):
+    depth, mask = primals
+    ddepth, _ = tangents
+    return _pack_mask_lsb(depth, mask), ddepth
+
+
+def _unpack_mask_lsb(packed: Array) -> Array:
+    u = jax.lax.bitcast_convert_type(jax.lax.stop_gradient(packed),
+                                     jnp.uint32)
+    return (u & jnp.uint32(1)).astype(bool)
+
+
+def warp_pcl_mask(depth: Array, mask: Array, flow: Array, intrinsics: Array):
+    """Bilinear-warp the point cloud ``depth_to_pcl(depth, K)`` AND
+    nearest-sample ``mask`` at the flow target coords — fetching ONE channel.
+
+    Equivalent to ``warp_bilinear_nearest(depth_to_pcl(depth, K, coords),
+    mask, flow)`` (up to one depth ulp and f32 summation order), but the
+    gather payload is a single packed f32 instead of pcl(3) + mask(1):
+    rays are AFFINE in pixel coords, so the interpolated point is
+
+        sum_i w_i d_i K^-1 h_i  =  K^-1 ((x0+.5) D + Dx, (y0+.5) D + Dy, D)
+
+    with D = sum w_i d_i, Dx/Dy the right/bottom-corner partial sums, and
+    h_i the +0.5-centered homogeneous corner coords. TPU row-gather cost is
+    flat up to 4 f32 per row and byte-bound beyond (measured ~19 ms vs
+    ~63 ms per 8x(512x640) window for the 16-f32 quad rows this replaces),
+    so shrinking the quad row 16 -> 4 f32 recovers the whole byte-bound
+    overhang. The mask rides in the depth mantissa LSB (invalid depths are
+    placeholder 1.0, never 0/NaN — see PoseNet.disparity_to_depth).
+
+    :param depth: (B, H, W, 1) f32, positive (invalid pixels hold 1.0)
+    :param mask: (B, H, W, 1) bool
+    :param flow: (B, H, W, 2) pixel flow
+    :param intrinsics: (B, 3, 3)
+    :return: (pcl_w (B, H, W, 3) f32, mask_w (B, H, W, 1) bool) — the warped
+        cloud (zero-padding semantics) and the nearest-sampled mask
+        (False out of bounds)
+    """
+    b, h, w, _ = depth.shape
+    packed = _pack_mask_lsb(depth.astype(jnp.float32),
+                            mask).reshape(b, h, w, 1)
+
+    cx, cy = _flow_target_coords(flow)
+    x0f = jnp.floor(cx)
+    y0f = jnp.floor(cy)
+    wx = cx - x0f
+    wy = cy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    rows = _quad_rows(packed, x0, y0)                     # (B, N, 4)
+    d00 = rows[..., 0] * _inb(x0, y0, w, h)
+    d01 = rows[..., 1] * _inb(x0 + 1, y0, w, h)
+    d10 = rows[..., 2] * _inb(x0, y0 + 1, w, h)
+    d11 = rows[..., 3] * _inb(x0 + 1, y0 + 1, w, h)
+
+    w00 = (1.0 - wx) * (1.0 - wy)
+    w01 = wx * (1.0 - wy)
+    w10 = (1.0 - wx) * wy
+    w11 = wx * wy
+    D = w00 * d00 + w01 * d01 + w10 * d10 + w11 * d11     # sum w_i d_i
+    Dx = w01 * d01 + w11 * d11                            # corners with dx=1
+    Dy = w10 * d10 + w11 * d11                            # corners with dy=1
+
+    sx = (x0f + 0.5) * D + Dx
+    sy = (y0f + 0.5) * D + Dy
+    s = jnp.stack([sx, sy, D], axis=-1)                   # (B, N, 3)
+    kinv = jnp.linalg.inv(intrinsics)                     # (B, 3, 3)
+    # explicit 3x3 application (elementwise f32; einsum would drop to the
+    # MXU's bf16 default precision)
+    pcl = (kinv[:, None, :, 0] * s[..., 0:1]
+           + kinv[:, None, :, 1] * s[..., 1:2]
+           + kinv[:, None, :, 2] * s[..., 2:3])
+    pcl_w = pcl.reshape(b, h, w, 3)
+
+    # nearest = floor(coord + 0.5): always one of the four fetched corners
+    right = wx >= 0.5
+    down = wy >= 0.5
+    vtop = jnp.where(right, d01, d00)
+    vbot = jnp.where(right, d11, d10)
+    vn = jnp.where(down, vbot, vtop)
+    mask_w = _unpack_mask_lsb(vn).reshape(b, h, w, 1)
+    return pcl_w, mask_w
+
+
 def _flow_target_coords(flow: Array):
     """Pixel coordinates displaced by flow: (B, N) x and y.
 

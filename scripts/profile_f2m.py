@@ -253,15 +253,15 @@ def main():
         timed(gru, mk_gru, n, "  GRU flow (12 iters, batch 1)")
 
         @jax.jit
-        def heads(v, pcl1, pcl2, img1, img2, mask2, tf, sf1, sf2, hid, ctx):
+        def heads(v, pcl1, d2, img1, img2, mask2, tf, sf1, sf2, hid, ctx):
             return model.apply(
-                v, pcl1, pcl2, img1, img2, mask2, tf, sf1, sf2, hid, ctx,
-                method=PoseNet.get_weight_maps)
+                v, pcl1, d2, jnp.asarray(K), img1, img2, mask2, tf, sf1, sf2,
+                hid, ctx, method=PoseNet.get_weight_maps)
 
         def mk_heads(i):
             return (variables,
                     rand(23 * i, (1, H, W, 3), 1.0),
-                    rand(23 * i + 1, (1, H, W, 3), 1.0),
+                    0.3 + rand(23 * i + 1, (1, H, W, 1), 0.4),
                     rand(23 * i + 2, (1, H, W, 3), 255.0),
                     rand(23 * i + 3, (1, H, W, 3), 255.0),
                     jnp.ones((1, H, W, 1), bool),

@@ -92,3 +92,42 @@ def test_fused_bilinear_nearest_matches_separate():
         np.testing.assert_array_equal(got_bv, ref_bv)
         np.testing.assert_array_equal(got_n, ref_n)
         np.testing.assert_array_equal(got_nv, ref_nv)
+
+
+def test_warp_pcl_mask_matches_dense_pcl_warp():
+    """Single-channel depth-moment warp vs warping the materialized cloud:
+    pcl within fp tolerance (rays are affine in pixel coords, so the two
+    differ only in f32 summation order + one packed-mask ulp of depth);
+    nearest mask bit-exact. Gradients: d(warp)/d(flow) must match the dense
+    path (the LSB pack differentiates as identity)."""
+    from robust_pose_tpu.ops.geometry import create_img_coords, depth_to_pcl
+    from robust_pose_tpu.ops.warp import warp_pcl_mask
+
+    K = jnp.asarray([[[40.0, 0.0, W / 2], [0.0, 40.0, H / 2],
+                      [0.0, 0.0, 1.0]]])
+    K = jnp.broadcast_to(K, (2, 3, 3))
+    coords = create_img_coords(H, W)
+    depth = 0.05 + 0.95 * jax.random.uniform(jax.random.PRNGKey(5),
+                                             (2, H, W, 1))
+    mask = jax.random.uniform(jax.random.PRNGKey(6), (2, H, W, 1)) > 0.3
+    pcl = depth_to_pcl(depth, K, coords)
+    for flow in _flows():
+        ref_pcl, _, ref_m, ref_mv = warp_bilinear_nearest(
+            pcl, mask.astype(jnp.float32), flow)
+        got_pcl, got_m = warp_pcl_mask(depth, mask, flow, K)
+        np.testing.assert_allclose(got_pcl, ref_pcl, rtol=2e-5, atol=1e-5)
+        np.testing.assert_array_equal(got_m, ref_mv & (ref_m > 0))
+
+    flow = _flows()[0]
+
+    def f_dense(fl):
+        out, _, _, _ = warp_bilinear_nearest(pcl, mask.astype(jnp.float32), fl)
+        return jnp.sum(out * jnp.cos(out))
+
+    def f_packed(fl):
+        out, _ = warp_pcl_mask(depth, mask, fl, K)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(f_dense)(flow)
+    g_got = jax.grad(f_packed)(flow)
+    np.testing.assert_allclose(g_got, g_ref, rtol=1e-3, atol=1e-4)
