@@ -17,6 +17,10 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+from robust_pose_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 import jax.numpy as jnp
 import numpy as np
 
