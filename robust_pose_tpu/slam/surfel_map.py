@@ -277,7 +277,11 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
         covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
                                  cfg) > 0
     else:
-        covered_f = jnp.zeros((nf,), bool).at[midx].max(matched, mode="drop")
+        # i32 scatter-max: the bool-operand scatter lowering is ~45% slower
+        # on v5e (16.0 vs 11.1 ms at a 1.6M-slot pool — scripts/
+        # profile_device.py --stage prims); identical result
+        covered_f = jnp.zeros((nf,), jnp.int32).at[midx].max(
+            matched.astype(jnp.int32), mode="drop") > 0
     if u > 1:
         covered = covered_f.reshape(h, u, w, u).any(axis=(1, 3)).reshape(-1)
     else:

@@ -205,6 +205,94 @@ def main():
             kloop(mk, (v2, rand(0, (b, H8, W8, 264), 1.0)), k1, k2,
                   f"TinyUNet 2d head (batch {b})")
 
+    if want("prims"):
+        # the surfel fuse/render primitives at production pool size: which
+        # of projection / gathers / scatters / sort owns fuse_render's ms
+        from robust_pose_tpu import se3
+        from robust_pose_tpu.ops.gather import gather_rows
+        from robust_pose_tpu.ops.geometry import project2image
+
+        frames = 4
+        n = H * W
+        alloc = frames * n + n
+        kmat = jnp.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1.0]])
+        pts = rand(5, (alloc, 3), 1.0)
+        z = 0.3 + 0.4 * pts[:, 2]
+        opts = jnp.stack([(pts[:, 0] - 0.5) * z * (W / 500.0),
+                          (pts[:, 1] - 0.5) * z * (H / 500.0), z], -1)
+        pix = jax.random.randint(jax.random.PRNGKey(0), (alloc,), 0, n + 1)
+        key = jax.random.randint(jax.random.PRNGKey(1), (alloc,), 0, 2 ** 30)
+        rows7 = rand(2, (n, 7), 1.0)
+        pool7 = rand(3, (alloc, 7), 1.0)
+        pose = se3.identity(())
+
+        def mk_case(fn):
+            def mk(k):
+                @jax.jit
+                def f(*xs):
+                    def body(i, c):
+                        y = fn(c, *xs)
+                        return chain_scalar(y)
+                    return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+                return f
+            return mk
+
+        kloop(mk_case(lambda c, o: project2image(
+            (o * (1.0 + c))[None], kmat[None], (H, W), pose[None])[0]),
+            (opts,), k1, k2, f"project2image (pool {alloc})")
+        kloop(mk_case(lambda c, r, p: gather_rows(
+            r * (1.0 + c), jnp.clip(p, 0, n - 1))),
+            (rows7, pix), k1, k2, f"gather_rows pool<-frame ({alloc}x7)")
+        kloop(mk_case(lambda c, r, p: gather_rows(
+            r * (1.0 + c), jnp.clip(p[:n], 0, alloc - 1))),
+            (pool7, pix), k1, k2, f"gather_rows frame<-pool ({n}x7)")
+        kloop(mk_case(lambda c, p, kk: jnp.full((n,), -1, jnp.int32).at[
+            p + (c > 1).astype(jnp.int32)].max(kk, mode="drop")),
+            (pix, key), k1, k2, f"scatter-max pool->img ({alloc})")
+        kloop(mk_case(lambda c, p, m: jnp.zeros((n,), bool).at[
+            p + (c > 1).astype(jnp.int32)].max(m, mode="drop")),
+            (pix, key > 2 ** 29), k1, k2, f"scatter-max bool covered ({alloc})")
+
+        def sort_winner(c, p, kk):
+            ps, ks = jax.lax.sort((p + (c > 1).astype(jnp.int32), kk),
+                                  num_keys=2)
+            is_last = jnp.concatenate([ps[1:] != ps[:-1],
+                                       jnp.ones((1,), bool)])
+            idx = jnp.where(is_last, ps, n)
+            return jnp.full((n,), -1, jnp.int32).at[idx].set(
+                ks, mode="drop", unique_indices=True)
+        kloop(mk_case(sort_winner), (pix, key), k1, k2,
+              f"sort+set winner ({alloc})")
+        kloop(mk_case(lambda c, m: jnp.cumsum(
+            m & (c < 1.0)) - 1), (key > 2 ** 29,), k1, k2,
+            f"cumsum rank ({alloc})")
+
+        # covered-via-sort: the covered payload is ONE bit, so it packs into
+        # a single-key i32 sort (pix<<1 | matched); segment tails give the
+        # per-pixel any()
+        def covered_sort(c, p, m):
+            packed = ((p + (c > 1).astype(jnp.int32)) << 1) | m.astype(
+                jnp.int32)
+            s = jax.lax.sort(packed)
+            spix = s >> 1
+            is_last = jnp.concatenate([spix[1:] != spix[:-1],
+                                       jnp.ones((1,), bool)])
+            idx = jnp.where(is_last, spix, n)
+            return jnp.zeros((n,), bool).at[idx].set(
+                (s & 1) > 0, mode="drop", unique_indices=True)
+        kloop(mk_case(covered_sort), (pix, key > 2 ** 29), k1, k2,
+              f"covered via 1-key sort ({alloc})")
+        kloop(mk_case(lambda c, p, m: (jnp.zeros((n,), jnp.int32).at[
+            p + (c > 1).astype(jnp.int32)].max(m.astype(jnp.int32),
+                                               mode="drop")) > 0),
+            (pix, key > 2 ** 29), k1, k2,
+            f"covered via i32 scatter-max ({alloc})")
+        kloop(mk_case(lambda c, p: jnp.zeros((n,), jnp.int32).at[
+            jnp.clip(p[:n], 0, n)].set(
+                jnp.arange(n, dtype=jnp.int32) + (c > 1).astype(jnp.int32),
+                mode="drop", unique_indices=True)),
+            (pix,), k1, k2, "scatter-set src (N, unique)")
+
     if want("fuse_render"):
         from robust_pose_tpu import se3
         from robust_pose_tpu.slam.frame import make_frame
