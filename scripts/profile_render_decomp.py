@@ -1,0 +1,164 @@
+"""Decompose ``surfel_render``'s device milliseconds op by op.
+
+The standalone render at a 4-frame bucket measures ~44 ms on v5e while its
+logical HBM traffic is ~100 MB (~0.15 ms at peak BW) — so the time lives in
+specific primitive lowerings, not raw bytes. This script times each phase of
+the render pipeline (projection, key pack, scatter-max winner, pool-table
+concat, winner gather, output assembly) as separate jitted programs over the
+same pool shapes, to find the millisecond owners before optimizing.
+
+Usage: python scripts/profile_render_decomp.py [--frames 4] [--iters 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from robust_pose_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
+import jax.numpy as jnp
+import numpy as np
+
+H, W = 512, 640
+N = H * W
+
+
+def timed(fn, make_inputs, n=8, name=""):
+    batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
+    out = fn(*batches[-1])
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = fn(*batches[i])
+    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    dt = (time.perf_counter() - t0) / n * 1000.0
+    print(f"{name:52s} {dt:8.2f} ms", flush=True)
+    return dt
+
+
+def rand(key, shape, scale=1.0, dtype=jnp.float32):
+    return (scale * jax.random.uniform(jax.random.PRNGKey(key), shape)
+            ).astype(dtype)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+    n = args.iters
+
+    from robust_pose_tpu import se3
+    from robust_pose_tpu.ops.gather import gather_rows
+    from robust_pose_tpu.ops.geometry import project2image
+
+    cap = args.frames * N
+    alloc = cap + N
+    kmat = jnp.array([[500.0, 0, W / 2], [0, 500.0, H / 2], [0, 0, 1.0]])
+    slot_bits = max(int(alloc - 1).bit_length(), 1)
+    conf_bits = 31 - slot_bits
+    qmax = (1 << conf_bits) - 1
+
+    def mk_opts(i):
+        pts = rand(5 * i, (alloc, 3))
+        z = 0.3 + 0.4 * pts[:, 2]
+        x = (pts[:, 0] - 0.5) * z * (W / 500.0)
+        y = (pts[:, 1] - 0.5) * z * (H / 500.0)
+        return jnp.stack([x, y, z], -1)
+
+    def mk_pix(i):
+        return jax.random.randint(jax.random.PRNGKey(9 * i), (alloc,), 0,
+                                  N + 1, jnp.int32)
+
+    def mk_key(i):
+        k = jax.random.randint(jax.random.PRNGKey(9 * i + 1), (alloc,), 0,
+                               2 ** 30, jnp.int32)
+        return jnp.where(mk_pix(i) < N, k, -1)
+
+    def mk_slotimg(i):
+        return jax.random.randint(jax.random.PRNGKey(9 * i + 2), (N,), -1,
+                                  alloc, jnp.int32)
+
+    # 1. full-pool projection
+    timed(jax.jit(lambda o: project2image(o[None], kmat[None], (H, W),
+                                          se3.identity(())[None])),
+          lambda i: (mk_opts(i),), n, "project2image (alloc pts)")
+
+    # 2. key pack (elementwise over alloc)
+    @jax.jit
+    def pack(conf, valid):
+        ids = jnp.arange(alloc, dtype=jnp.int32)
+        q = jnp.clip((conf * qmax).astype(jnp.int32), 0, qmax)
+        return jnp.where(valid, (q << slot_bits) | ids, -1)
+
+    timed(pack, lambda i: (rand(3 * i, (alloc,)), mk_pix(i) < N), n,
+          "key pack (elementwise alloc)")
+
+    # 3. winner scatter-max
+    timed(jax.jit(lambda pix, key: jnp.full((N,), -1, jnp.int32)
+                  .at[pix].max(key, mode="drop")),
+          lambda i: (mk_pix(i), mk_key(i)), n, "scatter-max winner (alloc->N)")
+
+    # 4. pool-table concat (alloc, 7)
+    @jax.jit
+    def concat7(opts, rgb, conf):
+        return jnp.concatenate([opts, rgb, conf[:, None]], axis=-1)
+
+    timed(concat7, lambda i: (mk_opts(i), rand(2 * i, (alloc, 3), 255.0),
+                              rand(3 * i, (alloc,))), n,
+          "pool-table concat (alloc, 7)")
+
+    # 5. winner payload gather (N rows from (alloc, 7))
+    def mk_tbl(i):
+        return concat7(mk_opts(i), rand(2 * i, (alloc, 3), 255.0),
+                       rand(3 * i, (alloc,)))
+
+    timed(jax.jit(lambda t, sl: gather_rows(t, jnp.clip(sl, 0, alloc - 1))),
+          lambda i: (mk_tbl(i), mk_slotimg(i)), n,
+          "winner gather (N rows of 7ch)")
+
+    # 5b. same gather but channel-split (3 separate tables)
+    @jax.jit
+    def gsplit(opts, rgb, conf, sl):
+        sl = jnp.clip(sl, 0, alloc - 1)
+        return (gather_rows(opts, sl), gather_rows(rgb, sl),
+                gather_rows(conf, sl))
+
+    timed(gsplit, lambda i: (mk_opts(i), rand(2 * i, (alloc, 3), 255.0),
+                             rand(3 * i, (alloc,)), mk_slotimg(i)), n,
+          "winner gather (split 3+3+1)")
+
+    # 6. output assembly (N-sized elementwise + transform)
+    @jax.jit
+    def assemble(win, slot_img):
+        have = slot_img >= 0
+        conf_img = jnp.where(have, win[:, 6], 0.0)
+        zcam = se3.act(se3.identity(())[None], win[:, :3])[:, 2]
+        depth_img = jnp.where(have, zcam, 0.0)
+        rgb_img = jnp.where(have[:, None], win[:, 3:6], 0.0)
+        return (rgb_img.reshape(1, H, W, 3), depth_img.reshape(1, H, W, 1),
+                conf_img.reshape(1, H, W, 1))
+
+    timed(assemble, lambda i: (rand(4 * i, (N, 7), 1.0), mk_slotimg(i)), n,
+          "output assembly (N elementwise)")
+
+    # 7. the valid mask + pix computation (elementwise over alloc)
+    @jax.jit
+    def pixcalc(ipts, inb, active):
+        valid = inb & active
+        px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, W - 1)
+        py = jnp.clip(ipts[:, 1].astype(jnp.int32), 0, H - 1)
+        return jnp.where(valid, py * W + px, N)
+
+    timed(pixcalc, lambda i: (mk_opts(i), mk_pix(i) < N,
+                              jnp.arange(alloc) < cap), n,
+          "pix calc (elementwise alloc)")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,9 +10,15 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # XLA:CPU kills a collective when participants arrive > 40 s apart; on a
+    # single-core host the 8 virtual devices run serialized, so the
+    # full-depth multichip EXECUTION test (test_multichip_fulldepth.py)
+    # needs the rendezvous timeout raised well past one device's step time
+    flags = (flags +
+             " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

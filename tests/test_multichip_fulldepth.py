@@ -7,17 +7,16 @@ the pose argmin, AdamW — over the 8-device test mesh at 352x448, the
 smallest image admitting the full-depth heads (the VALID 3x3 conv stacks at
 1/8 scale need >= 44x44 features). No ``unet_levels`` truncation anywhere.
 
-AOT-compiling the SPMD program is the multichip validation: it exercises
-sharding propagation through every layer of the real architecture, the
-partitioner's collective insertion (gradient all-reduce over the mesh), and
-per-device buffer assignment. EXECUTING it is additionally gated behind
-``RUN_FULLDEPTH_EXEC=1``: one step is ~400 s of serialized per-device
-compute PER DEVICE on the single-core CI host, and XLA:CPU's collective
-rendezvous terminates when participants arrive > 40 s apart — a real
-multi-chip TPU (or a >= 8-core host with
-``--xla_cpu_collective_call_terminate_timeout_seconds`` raised in
-XLA_FLAGS) executes it fine, as tiny-shape phase 1 of
-``__graft_entry__.dryrun_multichip`` proves end-to-end every round.
+AOT-compiling the SPMD program exercises sharding propagation through every
+layer of the real architecture, the partitioner's collective insertion
+(gradient all-reduce over the mesh), and per-device buffer assignment.
+EXECUTION then runs one real step: XLA:CPU's collective rendezvous
+terminates when participants arrive > 40 s apart, so conftest.py raises
+``--xla_cpu_collective_call_terminate_timeout_seconds`` — with it, the
+full-depth 8-device step executes in ~6 min on the single-core CI host
+(measured 357 s, round 5). Execution is the heavy-tier default; set
+``SKIP_FULLDEPTH_EXEC=1`` to fall back to compile-only on hosts where the
+serialized-device step time is prohibitive.
 """
 import os
 import sys
@@ -78,7 +77,7 @@ def test_fulldepth_train_step_compiles_8dev():
     assert ("all-reduce" in hlo) or ("all-gather" in hlo) or (
         "collective" in hlo), "expected cross-device collectives in the HLO"
 
-    if os.environ.get("RUN_FULLDEPTH_EXEC"):
+    if not os.environ.get("SKIP_FULLDEPTH_EXEC"):
         new_state, metrics = compiled(state, batch)
         jax.block_until_ready(new_state.params)
         assert bool(jnp.isfinite(metrics["train/loss_total"]))
