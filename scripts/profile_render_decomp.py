@@ -28,17 +28,52 @@ H, W = 512, 640
 N = H * W
 
 
+_overhead_ms = [0.0]
+
+
 def timed(fn, make_inputs, n=8, name=""):
-    batches = [jax.block_until_ready(make_inputs(i)) for i in range(n + 1)]
-    out = fn(*batches[-1])
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    """Device milliseconds per application of ``fn``: the n input batches are
+    stacked and scanned over INSIDE one jitted program (so the per-dispatch
+    axon-tunnel RPC, ~20 ms, is paid once, not per iteration), and only a
+    per-step scalar checksum leaves the device (a full-output fetch over the
+    ~20-35 MB/s tunnel would otherwise dominate — it did: the first cut of
+    this script 'measured' a 46 MB concat at 356 ms of pure transfer)."""
+    batches = [make_inputs(i) for i in range(n)]
+    stacked = jax.block_until_ready(
+        [jnp.stack(xs) for xs in zip(*batches)])
+
+    @jax.jit
+    def scanned(stk):
+        def body(_, inp):
+            out = fn(*inp)
+            # full-output checksum: consuming every element keeps XLA from
+            # dead-code-eliminating unread output parts; the extra read is
+            # one bandwidth pass over the output (~0.06 ms for 46 MB)
+            s = sum(jnp.sum(l.astype(jnp.float32))
+                    for l in jax.tree_util.tree_leaves(out))
+            return (), s
+        _, ss = jax.lax.scan(body, (), tuple(stk))
+        return ss
+
+    _ = np.asarray(scanned(stacked))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(*batches[i])
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    dt = (time.perf_counter() - t0) / n * 1000.0
+    reps = 3
+    for _r in range(reps):
+        ss = scanned(stacked)
+    _ = np.asarray(ss)  # forced readback of (n,) scalars
+    dt = (time.perf_counter() - t0) / (n * reps) * 1000.0
+    dt -= _overhead_ms[0]
     print(f"{name:52s} {dt:8.2f} ms", flush=True)
     return dt
+
+
+def calibrate(n=8):
+    """Measure the empty-scan + dispatch + readback floor and subtract it
+    from every row."""
+    _overhead_ms[0] = 0.0
+    _overhead_ms[0] = max(0.0, timed(
+        lambda x: x, lambda i: (jnp.zeros((8,), jnp.float32),), n,
+        "(dispatch/readback floor, subtracted)"))
 
 
 def rand(key, shape, scale=1.0, dtype=jnp.float32):
@@ -56,6 +91,8 @@ def main():
     from robust_pose_tpu import se3
     from robust_pose_tpu.ops.gather import gather_rows
     from robust_pose_tpu.ops.geometry import project2image
+
+    calibrate(n)
 
     cap = args.frames * N
     alloc = cap + N
@@ -158,6 +195,60 @@ def main():
     timed(pixcalc, lambda i: (mk_opts(i), mk_pix(i) < N,
                               jnp.arange(alloc) < cap), n,
           "pix calc (elementwise alloc)")
+
+    # 8. the per-frame scatter pair as shipped: covered (fuse) + winner
+    # (render) as two independent scatter-maxes over the pool
+    def mk_matched(i):
+        return (jax.random.uniform(jax.random.PRNGKey(9 * i + 3),
+                                   (alloc,)) < 0.5).astype(jnp.int32)
+
+    @jax.jit
+    def two_scatters(pix, key, matched):
+        cov = jnp.zeros((N,), jnp.int32).at[pix].max(matched, mode="drop")
+        win = jnp.full((N,), -1, jnp.int32).at[pix].max(key, mode="drop")
+        return cov, win
+
+    timed(two_scatters, lambda i: (mk_pix(i), mk_key(i), mk_matched(i)), n,
+          "two scatter-maxes (covered + winner)")
+
+    # 8b. same result in ONE windowed scatter: operand (N, 2), each index
+    # visit max-combines a 2-element row — if the serialization cost is
+    # per index visit (not per element), this halves the scatter wall time
+    @jax.jit
+    def fused_scatter(pix, key, matched):
+        init = jnp.tile(jnp.array([[0, -1]], jnp.int32), (N, 1))
+        upd = jnp.stack([matched, key], axis=-1)
+        out = init.at[pix].max(upd, mode="drop")
+        return out[:, 0], out[:, 1]
+
+    timed(fused_scatter, lambda i: (mk_pix(i), mk_key(i), mk_matched(i)), n,
+          "fused 2-col windowed scatter-max")
+
+    # 8c. scatter-update-count scaling: N updates (one frame block) vs the
+    # full pool — is the scatter per-update serialized or bandwidth-like?
+    timed(jax.jit(lambda pix, key: jnp.full((N,), -1, jnp.int32)
+                  .at[pix].max(key, mode="drop")),
+          lambda i: (mk_pix(i)[:N], mk_key(i)[:N]), n,
+          "scatter-max winner (N updates only)")
+
+    # 8d. sort-based winner at the pool size (the cfg.winner='sort' path)
+    @jax.jit
+    def sort_winner(pix, key):
+        ps, ks = jax.lax.sort((pix, key), num_keys=2)
+        is_last = jnp.concatenate([ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+        idx = jnp.where(is_last, ps, N)
+        return jnp.full((N,), -1, jnp.int32).at[idx].set(
+            ks, mode="drop", unique_indices=True)
+
+    timed(sort_winner, lambda i: (mk_pix(i), mk_key(i)), n,
+          "sort-based winner (pool)")
+
+    # sanity: fused == two-pass on one batch
+    pix, key, mat = mk_pix(0), mk_key(0), mk_matched(0)
+    c2, w2 = two_scatters(pix, key, mat)
+    cf, wf = fused_scatter(pix, key, mat)
+    ok = bool(jnp.all(c2 == cf) & jnp.all(w2 == wf))
+    print(f"fused == two-pass: {ok}")
 
 
 if __name__ == "__main__":
