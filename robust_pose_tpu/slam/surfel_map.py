@@ -194,11 +194,23 @@ def surfel_compact(state: SurfelState, cfg: SurfelConfig) -> SurfelState:
 
 
 def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
-               cfg: SurfelConfig):
+               cfg: SurfelConfig, with_winner: bool = False):
     """Shared fuse body; returns (new_state, aux) where aux carries the
     pool projection and append-block bookkeeping so ``surfel_fuse_render``
     can reuse them for the next frame's rendering (same transform, same
-    points when ``average_pts`` is off)."""
+    points when ``average_pts`` is off).
+
+    With ``with_winner`` (the merged fuse+render path, packed-scatter
+    winner config) the fuse's ``covered`` scatter-max and the render's
+    pool-winner scatter-max are FUSED into one 2-column windowed
+    scatter-max: both reductions visit the same per-surfel pixel indices
+    (``inb`` guarantees the floor-quantized pixel is in range, so the
+    fuse's round(x-0.5) and the render's trunc agree), and TPU scatter
+    cost is dominated by per-index-visit serialization, not payload
+    bytes — one visit updating a 2-row window beats two full passes
+    (scripts/profile_render_decomp.py). Bit-identical outputs; the
+    winner image lands in aux["pool_kmax"] for ``surfel_fuse_render`` to
+    extend with the appended-block candidates."""
     h, w = cfg.img_shape
     n = h * w
     u = cfg.upscale
@@ -270,30 +282,58 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
         opts, rgb = state.opts, state.rgb
     conf = jnp.where(matched, jnp.clip(cold + ccor, 0.0, 1.0), cold)
 
-    # pixels already covered by a matched surfel (surfel_map.py:127-133);
-    # for u > 1 the fine-grid coverage max-pools back to the base grid
-    # (reference surfel_map.py:131-133)
-    if cfg.winner == "sort":
-        covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
-                                 cfg) > 0
-    else:
-        # i32 scatter-max: the bool-operand scatter lowering is ~45% slower
-        # on v5e (16.0 vs 11.1 ms at a 1.6M-slot pool — scripts/
-        # profile_device.py --stage prims); identical result
-        covered_f = jnp.zeros((nf,), jnp.int32).at[midx].max(
-            matched.astype(jnp.int32), mode="drop") > 0
-    if u > 1:
-        covered = covered_f.reshape(h, u, w, u).any(axis=(1, 3)).reshape(-1)
-    else:
-        covered = covered_f
-    new_mask = ~covered & fmask
-
     tick = state.tick + 1
 
     # prune unstable aged surfels (remove_surfels_by_confidence_and_time,
-    # surfel_map.py:150-158)
+    # surfel_map.py:150-158) — computed BEFORE the coverage scatter so the
+    # fused covered+winner pass below can embed the post-fuse validity
     age = tick - state.t_created
     keep = state.active & ((conf >= 1.0) | (age < cfg.t_max))
+
+    # pixels already covered by a matched surfel (surfel_map.py:127-133);
+    # for u > 1 the fine-grid coverage max-pools back to the base grid
+    # (reference surfel_map.py:131-133)
+    slot_bits = max(int(state.opts.shape[0] - 1).bit_length(), 1)
+    pool_kmax = None
+    if (with_winner and cfg.winner == "scatter" and not cfg.exact_render
+            and slot_bits <= 23 and u == 1):
+        # ONE 2-column windowed scatter-max: col 0 accumulates the fuse's
+        # matched-coverage OR, col 1 the render's packed (conf, slot)
+        # winner key over post-fuse-valid pool surfels. Entirely covers
+        # what used to be two full-pool scatter passes.
+        alloc_ = state.opts.shape[0]
+        slot_ids = jnp.arange(alloc_, dtype=jnp.int32)
+        px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
+        py = jnp.clip(ipts[:, 1].astype(jnp.int32), 0, h - 1)
+        idx = jnp.where(inb[0], py * w + px, n)  # n -> dropped
+        vrender = inb[0] & keep & (slot_ids < state.hi)
+        conf_bits = 31 - slot_bits
+        qmax = (1 << conf_bits) - 1
+        q = jnp.clip((conf * qmax).astype(jnp.int32), 0, qmax)
+        key = jnp.where(vrender, (q << slot_bits) | slot_ids, -1)
+        init = jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.int32), jnp.full((n, 1), -1, jnp.int32)],
+            axis=-1)
+        upd = jnp.stack([matched.astype(jnp.int32), key], axis=-1)
+        out2 = init.at[idx].max(upd, mode="drop")
+        covered = out2[:, 0] > 0
+        pool_kmax = out2[:, 1]
+    else:
+        if cfg.winner == "sort":
+            covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
+                                     cfg) > 0
+        else:
+            # i32 scatter-max: the bool-operand scatter lowering is ~45%
+            # slower on v5e (16.0 vs 11.1 ms at a 1.6M-slot pool — scripts/
+            # profile_device.py --stage prims); identical result
+            covered_f = jnp.zeros((nf,), jnp.int32).at[midx].max(
+                matched.astype(jnp.int32), mode="drop") > 0
+        if u > 1:
+            covered = covered_f.reshape(h, u, w, u).any(
+                axis=(1, 3)).reshape(-1)
+        else:
+            covered = covered_f
+    new_mask = ~covered & fmask
 
     # append-at-hi: compact the new points into a contiguous block (one
     # int32 rank scatter + one packed gather) and write it at the high-water
@@ -328,6 +368,8 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
                             state.pmat, n_dropped, hi)
     aux = dict(ipts=ipts, inb=inb[0], src=src, blk_active=blk_active,
                hi0=hi0, u=u)
+    if pool_kmax is not None:
+        aux["pool_kmax"] = pool_kmax
     return new_state, aux
 
 
@@ -361,7 +403,8 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         "surfel_fuse_render requires average_pts=False, upscale=1")
     h, w = cfg.img_shape
     n = h * w
-    new_state, aux = _fuse_core(state, frame, pose, kmat, cfg)
+    new_state, aux = _fuse_core(state, frame, pose, kmat, cfg,
+                                with_winner=True)
     alloc = new_state.opts.shape[0]
     slot_ids = jnp.arange(alloc, dtype=jnp.int32)
 
@@ -404,15 +447,21 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         bcand = jnp.where(bis_max, blk_ids, -1)
         slot_img = slot_img.at[blk_pix].max(bcand, mode="drop")
     else:
-        key = pack(new_state.conf, slot_ids, valid)
         # appended block: row j landed at slot hi0+j and projects back to its
         # own source pixel src-inverse; blk row j's pixel is the j-th placed
         # new point's pixel = aux['src'][j]
         blk_conf = blk_conf_rows
         blk_key = pack(blk_conf, blk_ids, aux["blk_active"])
         blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
-        kmax = _winner_kmax(jnp.concatenate([pix, blk_pix]),
-                            jnp.concatenate([key, blk_key]), n, cfg)
+        if "pool_kmax" in aux:
+            # the full-pool winner pass already rode the fuse's coverage
+            # scatter (one fused 2-column pass in _fuse_core); only the
+            # appended block's N candidates remain
+            kmax = aux["pool_kmax"].at[blk_pix].max(blk_key, mode="drop")
+        else:
+            key = pack(new_state.conf, slot_ids, valid)
+            kmax = _winner_kmax(jnp.concatenate([pix, blk_pix]),
+                                jnp.concatenate([key, blk_key]), n, cfg)
         slot_img = jnp.where(kmax >= 0, kmax & ((1 << slot_bits) - 1), -1)
 
     have = slot_img >= 0
