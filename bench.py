@@ -200,7 +200,23 @@ def bench_stream(est, t_window, n_windows, seed0=1, diagnostics=False):
     return 1.0 / dt, n_ok / (n_windows * t_window), iters
 
 
+def measure_d2h_bandwidth(mb=24):
+    """Device->host transfer rate of one bulk fetch (MB/s). The
+    viewer-attached diagnostics FPS is fetch-bound whenever this is small
+    (the axon tunnel measures in the tens of MB/s; a local PCIe v5e does
+    ~10 GB/s) — reported alongside so the FPS number carries its own
+    provenance."""
+    x = jax.block_until_ready(
+        jnp.zeros((mb * (1 << 20) // 2,), jnp.float16))
+    _ = jax.device_get(x)  # warm the path
+    t0 = time.perf_counter()
+    _ = jax.device_get(x)
+    dt = time.perf_counter() - t0
+    return mb / dt
+
+
 def main():
+    d2h_mbps = measure_d2h_bandwidth()
     # frame-to-frame, production configuration/infer_f2f.yaml
     f2f_cfg = {
         "frame2frame": True, "lbgfs_iters": 20, "conf_weighing": True,
@@ -281,6 +297,10 @@ def main():
         out["f2f_fps_noearlyexit"] = round(f2f_floor, 3)
     if f2f_diag is not None:
         out["f2f_fps_diagnostics"] = round(f2f_diag, 3)
+        # the diagnostics fetch is ~26 MB (f16) per 8-frame window: on a
+        # low-bandwidth link (axon tunnel) the FPS above is transfer-bound,
+        # not compute-bound — d2h_MBps is the measured link rate
+        out["d2h_MBps"] = round(d2h_mbps, 1)
     if f2m_floor100 is not None:
         out["f2m_fps_noearlyexit"] = round(f2m_floor100, 3)
         out["f2m_fps_iters20_noearlyexit"] = round(f2m_floor20, 3)

@@ -235,7 +235,10 @@ class PoseEstimator:
                         variables, pose, st, mf, limg, rimg, mask, fr[3:])
                     ys = (new_pose, success, out.solver_iters)
                     if diag:
-                        ys += ((out.flow[0], out.conf1[0], out.conf2[0]),)
+                        # f16: viewer/logger payload, fetched to host
+                        ys += ((out.flow[0].astype(jnp.float16),
+                                out.conf1[0].astype(jnp.float16),
+                                out.conf2[0].astype(jnp.float16)),)
                     return (new_pose, st2, mf2), ys
 
                 (pose, st, mf), ys = jax.lax.scan(
@@ -253,7 +256,8 @@ class PoseEstimator:
                 if diag:
                     flow, conf1, conf2 = ys[3]
                     out += ({"flow": flow, "conf1": conf1, "conf2": conf2,
-                             "depth": depth2 / self.scale},)
+                             "depth": (depth2 / self.scale
+                                       ).astype(jnp.float16)},)
                 return out
 
             self._f2m_windows[key] = jax.jit(window)
@@ -288,9 +292,14 @@ class PoseEstimator:
             limgs[-1], rimgs[-1], depth=out.depth2[-1:] / self.scale,
             mask=masks[-1], flow=out.stereo_flow2[-1:])
         # per-frame diagnostics for viewers/loggers: already computed by the
-        # batched window pass, materialized as outputs only in diag mode
-        diag = {"flow": out.flow, "conf1": out.conf1, "conf2": out.conf2,
-                "depth": out.depth2 / self.scale}
+        # batched window pass, materialized as outputs only in diag mode.
+        # f16: display/logging data whose consumer is a host fetch — halves
+        # the device->host bytes (the fetch dominates viewer-attached FPS on
+        # bandwidth-limited links; see BASELINE.md)
+        diag = {"flow": out.flow.astype(jnp.float16),
+                "conf1": out.conf1.astype(jnp.float16),
+                "conf2": out.conf2.astype(jnp.float16),
+                "depth": (out.depth2 / self.scale).astype(jnp.float16)}
         return (pose, fr_state, out.feats, poses, success, out.solver_iters,
                 diag)
 
@@ -302,7 +311,8 @@ class PoseEstimator:
         :param diagnostics: also return the per-frame viewer/logger data the
             window pass computes anyway — dict of ``flow`` (T, H, W, 2),
             ``conf1``/``conf2``/``depth`` (T, H, W, 1), all device arrays
-            (ONE bulk readback beats T per-frame syncs on a remote chip)
+            in float16 (display/logging payload: half the fetch bytes; ONE
+            bulk readback beats T per-frame syncs on a remote chip)
         :return: (poses (T, 1, 7) absolute SE(3) vecs, successes (T,) bool
             [, diagnostics dict])
         Requires the first frame to have been processed via ``__call__``.

@@ -135,7 +135,10 @@ def main(args, config):
         with timer.stage("readback"):
             poses_np = np.asarray(poses)
             if diag is not None:
-                diag = jax.device_get(diag)  # one bulk transfer per window
+                # one bulk transfer per window; maps ride the link as f16
+                # and widen back for the host-side viewer/logger math
+                diag = {k: np.asarray(v, np.float32)
+                        for k, v in jax.device_get(diag).items()}
         scene_w = pose_estimator.scene
         pcd = None
         for t, (b, p) in enumerate(zip(buf, poses_np)):

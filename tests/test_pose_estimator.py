@@ -186,13 +186,21 @@ def test_track_window_diagnostics(checkpoint):
     assert diag["flow"].shape == (2, H, W, 2)
     assert diag["conf1"].shape == (2, H, W, 1)
     assert diag["depth"].shape == (2, H, W, 1)
+    # diagnostics ride the device->host link as f16 (display payload);
+    # equivalence is judged against the per-frame maps at f16 resolution
+    assert diag["flow"].dtype == jnp.float16
     for i in range(2):
-        np.testing.assert_allclose(np.asarray(diag["flow"][i]), flows[i + 1],
-                                   rtol=1e-4, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(diag["conf1"][i]), confs[i + 1],
-                                   rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(np.asarray(diag["depth"][i]),
-                                   depths[i + 1], rtol=1e-4, atol=1e-5)
+        fref = flows[i + 1]
+        np.testing.assert_allclose(
+            np.asarray(diag["flow"][i], np.float32), fref,
+            rtol=1e-3, atol=1e-3 + 1e-3 * np.abs(fref).max())
+        np.testing.assert_allclose(
+            np.asarray(diag["conf1"][i], np.float32), confs[i + 1],
+            rtol=1e-3, atol=1e-3)
+        dref = depths[i + 1]
+        np.testing.assert_allclose(
+            np.asarray(diag["depth"][i], np.float32), dref,
+            rtol=1e-3, atol=1e-5 + 1e-3 * np.abs(dref).max())
 
     # f2m: diag rides the scan ys; same per-frame data, same shapes
     cfg = dict(_slam_cfg(False), map_capacity=8 * H * W)
@@ -208,8 +216,10 @@ def test_track_window_diagnostics(checkpoint):
     _, _, diag_m = est_d.track_window(limgs, rimgs, masks, diagnostics=True)
     assert diag_m["flow"].shape == (2, H, W, 2)
     for i in range(2):
-        np.testing.assert_allclose(np.asarray(diag_m["flow"][i]),
-                                   fm_flows[i + 1], rtol=1e-4, atol=1e-3)
+        fref = fm_flows[i + 1]
+        np.testing.assert_allclose(
+            np.asarray(diag_m["flow"][i], np.float32), fref,
+            rtol=1e-3, atol=1e-3 + 1e-3 * np.abs(fref).max())
 
 
 def _frames_with_jump(n=5, jump_at=3, jump=90):
