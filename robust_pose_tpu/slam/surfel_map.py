@@ -201,16 +201,16 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     points when ``average_pts`` is off).
 
     With ``with_winner`` (the merged fuse+render path, packed-scatter
-    winner config) the fuse's ``covered`` scatter-max and the render's
-    pool-winner scatter-max are FUSED into one 2-column windowed
-    scatter-max: both reductions visit the same per-surfel pixel indices
-    (``inb`` guarantees the floor-quantized pixel is in range, so the
-    fuse's round(x-0.5) and the render's trunc agree), and TPU scatter
-    cost is dominated by per-index-visit serialization, not payload
-    bytes — one visit updating a 2-row window beats two full passes
-    (scripts/profile_render_decomp.py). Bit-identical outputs; the
+    winner config) the render's pool-winner scatter-max runs here next to
+    the fuse's ``covered`` scatter as a SEPARATE 1-column pass, and the
     winner image lands in aux["pool_kmax"] for ``surfel_fuse_render`` to
-    extend with the appended-block candidates."""
+    extend with the appended-block candidates via an N-update scatter
+    (2.16 ms) instead of riding an alloc+N concat into one big scatter.
+    NOT fused into one 2-column windowed scatter: on v5e the (N, 2)
+    windowed scatter-max lowers ~3x slower than two independent 1-column
+    passes (65.5 vs 22.4 ms at a 4-frame bucket — TPU scatter serializes
+    per update row, and the 2-element update window triples the per-row
+    cost; scripts/profile_render_decomp.py, device-time rows)."""
     h, w = cfg.img_shape
     n = h * w
     u = cfg.upscale
@@ -293,14 +293,28 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     # pixels already covered by a matched surfel (surfel_map.py:127-133);
     # for u > 1 the fine-grid coverage max-pools back to the base grid
     # (reference surfel_map.py:131-133)
+    if cfg.winner == "sort":
+        covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
+                                 cfg) > 0
+    else:
+        # i32 scatter-max: the bool-operand scatter lowering is ~45%
+        # slower on v5e (16.0 vs 11.1 ms at a 1.6M-slot pool — scripts/
+        # profile_device.py --stage prims); identical result
+        covered_f = jnp.zeros((nf,), jnp.int32).at[midx].max(
+            matched.astype(jnp.int32), mode="drop") > 0
+    if u > 1:
+        covered = covered_f.reshape(h, u, w, u).any(axis=(1, 3)).reshape(-1)
+    else:
+        covered = covered_f
+    new_mask = ~covered & fmask
+
+    # pool winner for the merged fuse+render path: its own 1-column
+    # scatter-max (see docstring — fusing it into the coverage scatter as
+    # a 2-column window measures 3x SLOWER on v5e)
     slot_bits = max(int(state.opts.shape[0] - 1).bit_length(), 1)
     pool_kmax = None
     if (with_winner and cfg.winner == "scatter" and not cfg.exact_render
             and slot_bits <= 23 and u == 1):
-        # ONE 2-column windowed scatter-max: col 0 accumulates the fuse's
-        # matched-coverage OR, col 1 the render's packed (conf, slot)
-        # winner key over post-fuse-valid pool surfels. Entirely covers
-        # what used to be two full-pool scatter passes.
         alloc_ = state.opts.shape[0]
         slot_ids = jnp.arange(alloc_, dtype=jnp.int32)
         px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
@@ -311,29 +325,8 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
         qmax = (1 << conf_bits) - 1
         q = jnp.clip((conf * qmax).astype(jnp.int32), 0, qmax)
         key = jnp.where(vrender, (q << slot_bits) | slot_ids, -1)
-        init = jnp.concatenate(
-            [jnp.zeros((n, 1), jnp.int32), jnp.full((n, 1), -1, jnp.int32)],
-            axis=-1)
-        upd = jnp.stack([matched.astype(jnp.int32), key], axis=-1)
-        out2 = init.at[idx].max(upd, mode="drop")
-        covered = out2[:, 0] > 0
-        pool_kmax = out2[:, 1]
-    else:
-        if cfg.winner == "sort":
-            covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
-                                     cfg) > 0
-        else:
-            # i32 scatter-max: the bool-operand scatter lowering is ~45%
-            # slower on v5e (16.0 vs 11.1 ms at a 1.6M-slot pool — scripts/
-            # profile_device.py --stage prims); identical result
-            covered_f = jnp.zeros((nf,), jnp.int32).at[midx].max(
-                matched.astype(jnp.int32), mode="drop") > 0
-        if u > 1:
-            covered = covered_f.reshape(h, u, w, u).any(
-                axis=(1, 3)).reshape(-1)
-        else:
-            covered = covered_f
-    new_mask = ~covered & fmask
+        pool_kmax = jnp.full((n,), -1, jnp.int32).at[idx].max(
+            key, mode="drop")
 
     # append-at-hi: compact the new points into a contiguous block (one
     # int32 rank scatter + one packed gather) and write it at the high-water
@@ -454,9 +447,9 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         blk_key = pack(blk_conf, blk_ids, aux["blk_active"])
         blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
         if "pool_kmax" in aux:
-            # the full-pool winner pass already rode the fuse's coverage
-            # scatter (one fused 2-column pass in _fuse_core); only the
-            # appended block's N candidates remain
+            # the full-pool winner pass already ran inside _fuse_core
+            # (reusing its projection/validity); only the appended
+            # block's N candidates remain
             kmax = aux["pool_kmax"].at[blk_pix].max(blk_key, mode="drop")
         else:
             key = pack(new_state.conf, slot_ids, valid)
