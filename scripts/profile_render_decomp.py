@@ -231,6 +231,42 @@ def main():
           lambda i: (mk_pix(i)[:N], mk_key(i)[:N]), n,
           "scatter-max winner (N updates only)")
 
+    # 8c'. chunked scatter-max: the same alloc rows split into K disjoint
+    # chunks chained in place (bit-identical — max is associative and the
+    # chunks partition the rows). 8c shows per-row cost FALLS at smaller
+    # update counts; if that holds as a chain, the production covered and
+    # winner scatters should each run as K chunks.
+    def chunked(K):
+        chunk = alloc // K
+
+        @jax.jit
+        def f(pix, key):
+            out = jnp.full((N,), -1, jnp.int32)
+            for j in range(K):
+                out = out.at[jax.lax.dynamic_slice_in_dim(pix, j * chunk,
+                                                          chunk)].max(
+                    jax.lax.dynamic_slice_in_dim(key, j * chunk, chunk),
+                    mode="drop")
+            return out
+        return f
+
+    for K in (2, 4, 8):
+        timed(chunked(K), lambda i: (mk_pix(i), mk_key(i)), n,
+              f"scatter-max winner (chained {K} chunks)")
+
+    # 8c''. coherent-index scatter-max: raster-ordered indices (the real
+    # fuse/render projections are near-raster) vs 8b's random draw — does
+    # XLA's scatter lowering exploit locality at all?
+    def mk_pix_coherent(i):
+        base = jnp.tile(jnp.arange(N, dtype=jnp.int32), alloc // N + 1)
+        jig = jax.random.randint(jax.random.PRNGKey(7 * i), (alloc,), -2, 3)
+        return jnp.clip(base[:alloc] + jig, 0, N - 1)
+
+    timed(jax.jit(lambda pix, key: jnp.full((N,), -1, jnp.int32)
+                  .at[pix].max(key, mode="drop")),
+          lambda i: (mk_pix_coherent(i), mk_key(i)), n,
+          "scatter-max winner (coherent idx)")
+
     # 8d. sort-based winner at the pool size (the cfg.winner='sort' path)
     @jax.jit
     def sort_winner(pix, key):
