@@ -271,8 +271,9 @@ def main():
         "map_capacity": F2M_POOL_FRAMES * H * W,
         "initial_bucket": F2M_POOL_FRAMES * H * W,
         # packed-winner primitive A/B (bit-identical outputs; see
-        # slam/surfel_map.py::SurfelConfig.winner)
-        "winner": os.environ.get("BENCH_F2M_WINNER", "scatter"),
+        # slam/surfel_map.py::SurfelConfig.winner) — default follows the
+        # shipped default (segsort, slam/pose_estimator.py)
+        "winner": os.environ.get("BENCH_F2M_WINNER", "segsort"),
     }
     f2m = build_estimator(f2m_cfg)
     f2m_fps, f2m_ok, f2m_iters = bench_stream(f2m, t_window=F2M_WINDOW,

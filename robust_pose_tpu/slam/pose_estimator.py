@@ -413,7 +413,15 @@ class PoseEstimator:
                     # delta 0.0, ATE-RMSE between modes 0.0) while exact mode
                     # runs 4.6 vs 12.0 FPS — the approximation is free.
                     "exact_render": self.config.get("exact_render", False),
-                    "winner": self.config.get("winner", "scatter"),
+                    # winner primitive: the double-sort segment pipeline by
+                    # default — bit-identical to the scatter-max (test-
+                    # asserted) but ~2.2x its throughput on v5e, where
+                    # duplicate-combining scatters serialize per update row
+                    # (covered 11.0 -> 3.7 ms, winner 11.8 -> 5.5 ms at the
+                    # production 1.6M-row pool, scripts/
+                    # profile_winner_prims.py; f2m 13.48 -> 18.41 FPS in the
+                    # round-5 driver-style bench.py capture)
+                    "winner": self.config.get("winner", "segsort"),
                     "initial_bucket": self.config.get("initial_bucket"),
                     "upscale": self.config.get("upscale", 1)},
             pmat=self.last_pose[0],

@@ -62,10 +62,15 @@ class SurfelConfig(NamedTuple):
     # granularity (slot id breaks near-ties), 3x faster on TPU; the
     # reference's own tie order is sort-arbitrary (surfel_map.py:242-254).
     winner: str = "scatter"           # packed-winner primitive: "scatter"
-    # (one scatter-max over the pool) or "sort" (lax.sort by (pixel, key) +
-    # unique per-segment-tail set — bit-identical result; TPU scatters with
-    # millions of duplicate indices can lose to the bitonic sorter, see
-    # scripts/profile_f2m.py --stage winner)
+    # (one scatter-max over the pool), "sort" (lax.sort by (pixel, key) +
+    # unique per-segment-tail set), or "segsort" (double-sort segment
+    # pipeline: sort candidates, compact the per-pixel segment tails with a
+    # second 1-key sort, then ONE n-row unique+sorted set — no pool-sized
+    # scatter anywhere). All bit-identical. On v5e the duplicate-combining
+    # scatter-max serializes per update row (~7 ns/row) while the bitonic
+    # sorter moves the same 1.6M rows in ~2.5 ms, so "segsort" wins the
+    # production f2m shapes (scripts/profile_winner_prims.py); "sort"
+    # loses only because its tail write is itself a pool-sized scatter.
     upscale: int = 1                  # fuse-time correspondence supersampling
     # (reference surfel_map.py:24,86-93: the frame is bilinearly upsampled and
     # the intrinsics scaled so surfel<->pixel matching happens on a u-times
@@ -87,14 +92,60 @@ class SurfelState(NamedTuple):
     hi: Array         # () int32 — 1 + max active slot index (prefix extent)
 
 
+def _seg_kmax(pix: Array, key: Array, n: int) -> Array:
+    """Per-pixel max of ``key`` via the double-sort segment pipeline
+    (``pix == n`` drops); -1 where a pixel has no candidate.
+
+    1. sort candidates by (pix, key): each pixel's segment tail is its max
+    2. compact the tails to the front, ordered by pixel, with a second
+       1-key sort (non-tails get the ``n`` sentinel and sink to the back)
+    3. the first n rows hold every present pixel exactly once, sorted —
+       ONE n-row unique+sorted set writes the image
+
+    Replaces the pool-sized scatter-max: TPU scatter combines duplicate
+    indices one update row at a time (~7 ns/row = 9-12 ms at the production
+    1.6M-row pool) while two bitonic sorts of the same rows cost ~5 ms
+    (scripts/profile_winner_prims.py measurements, v5e).
+    """
+    ps, ks = jax.lax.sort((pix, key), num_keys=2, is_stable=False)
+    is_tail = jnp.concatenate([ps[1:] != ps[:-1], jnp.ones((1,), bool)])
+    skey = jnp.where(is_tail, ps, n)  # non-tails and pix==n both -> sentinel
+    sp, sw = jax.lax.sort((skey, ks), num_keys=1, is_stable=False)
+    return jnp.full((n,), -1, jnp.int32).at[sp[:n]].set(
+        sw[:n], mode="drop", unique_indices=True, indices_are_sorted=True)
+
+
+def _seg_covered(pix: Array, flag: Array, n: int) -> Array:
+    """Per-pixel OR of ``flag`` (i32 0/1) over candidates, scatter-free.
+
+    Packs the flag into the key's LSB: within a pixel's segment all rows
+    share ``pix << 1``, so the segment max's LSB is exactly the OR. One
+    1-operand sort + the same tail-compaction sort as ``_seg_kmax``.
+    ``pix`` must already be clipped in-bounds (the coverage pass clips).
+    """
+    packed = (pix << 1) | flag
+    s = jax.lax.sort(packed, is_stable=False)
+    pp = s >> 1
+    is_tail = jnp.concatenate([pp[1:] != pp[:-1], jnp.ones((1,), bool)])
+    comp = jnp.where(is_tail, s, (n << 1) | 1)  # sentinel: pixel n, dropped
+    s2 = jax.lax.sort(comp, is_stable=False)[:n]
+    return jnp.zeros((n,), jnp.int32).at[s2 >> 1].set(
+        s2 & 1, mode="drop", unique_indices=True,
+        indices_are_sorted=True) > 0
+
+
 def _winner_kmax(pix: Array, key: Array, n: int, cfg: SurfelConfig) -> Array:
     """Per-pixel max of ``key`` over candidates (``pix == n`` drops).
 
     "scatter": one scatter-max. "sort": lexicographic (pix, key) sort; the
     tail of each pixel segment holds its max, written with a unique-index
-    set. Bit-identical outputs (the packed key embeds the slot id, so maxima
-    are unique); which primitive is faster is hardware-dependent.
+    set. "segsort": double-sort segment pipeline (``_seg_kmax``) — no
+    pool-sized scatter at all. Bit-identical outputs (the packed key embeds
+    the slot id, so maxima are unique); which primitive is faster is
+    hardware-dependent.
     """
+    if cfg.winner == "segsort":
+        return _seg_kmax(pix, key, n)
     if cfg.winner == "sort":
         ps, ks = jax.lax.sort((pix, key), num_keys=2)
         is_last = jnp.concatenate([ps[1:] != ps[:-1], jnp.ones((1,), bool)])
@@ -293,7 +344,12 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     # pixels already covered by a matched surfel (surfel_map.py:127-133);
     # for u > 1 the fine-grid coverage max-pools back to the base grid
     # (reference surfel_map.py:131-133)
-    if cfg.winner == "sort":
+    if cfg.winner == "segsort":
+        # double-sort segment OR: two 1-operand bitonic sorts + one n-row
+        # unique set, ~2.3x the throughput of the pool-sized scatter-max
+        # on v5e (scripts/profile_winner_prims.py)
+        covered_f = _seg_covered(midx, matched.astype(jnp.int32), nf)
+    elif cfg.winner == "sort":
         covered_f = _winner_kmax(midx, matched.astype(jnp.int32), nf,
                                  cfg) > 0
     else:
@@ -313,8 +369,8 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     # a 2-column window measures 3x SLOWER on v5e)
     slot_bits = max(int(state.opts.shape[0] - 1).bit_length(), 1)
     pool_kmax = None
-    if (with_winner and cfg.winner == "scatter" and not cfg.exact_render
-            and slot_bits <= 23 and u == 1):
+    if (with_winner and cfg.winner in ("scatter", "segsort")
+            and not cfg.exact_render and slot_bits <= 23 and u == 1):
         alloc_ = state.opts.shape[0]
         slot_ids = jnp.arange(alloc_, dtype=jnp.int32)
         px = jnp.clip(ipts[:, 0].astype(jnp.int32), 0, w - 1)
@@ -325,8 +381,11 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
         qmax = (1 << conf_bits) - 1
         q = jnp.clip((conf * qmax).astype(jnp.int32), 0, qmax)
         key = jnp.where(vrender, (q << slot_bits) | slot_ids, -1)
-        pool_kmax = jnp.full((n,), -1, jnp.int32).at[idx].max(
-            key, mode="drop")
+        if cfg.winner == "segsort":
+            pool_kmax = _seg_kmax(idx, key, n)
+        else:
+            pool_kmax = jnp.full((n,), -1, jnp.int32).at[idx].max(
+                key, mode="drop")
 
     # append-at-hi: compact the new points into a contiguous block (one
     # int32 rank scatter + one packed gather) and write it at the high-water
@@ -360,6 +419,7 @@ def _fuse_core(state: SurfelState, frame: Frame, pose: Array, kmat: Array,
     new_state = SurfelState(opts, rgb, conf, t_created, active, tick,
                             state.pmat, n_dropped, hi)
     aux = dict(ipts=ipts, inb=inb[0], src=src, blk_active=blk_active,
+               placed=placed, rank=rank,
                hi0=hi0, u=u)
     if pool_kmax is not None:
         aux["pool_kmax"] = pool_kmax
@@ -443,15 +503,25 @@ def surfel_fuse_render(state: SurfelState, frame: Frame, pose: Array,
         # appended block: row j landed at slot hi0+j and projects back to its
         # own source pixel src-inverse; blk row j's pixel is the j-th placed
         # new point's pixel = aux['src'][j]
-        blk_conf = blk_conf_rows
-        blk_key = pack(blk_conf, blk_ids, aux["blk_active"])
-        blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
         if "pool_kmax" in aux:
             # the full-pool winner pass already ran inside _fuse_core
-            # (reusing its projection/validity); only the appended
-            # block's N candidates remain
-            kmax = aux["pool_kmax"].at[blk_pix].max(blk_key, mode="drop")
+            # (reusing its projection/validity); only the appended block's
+            # candidates remain — and those need NO scatter at all: block
+            # row j is the j-th placed frame pixel, so in PIXEL space the
+            # block's key image is elementwise-computable (every fresh
+            # append has the constant conf 1/conf_thr; its slot id is
+            # hi0 + rank[p]); the extension is one jnp.maximum (replaces a
+            # 2.1 ms N-row scatter-max, scripts/profile_winner_prims.py)
+            q_new = jnp.clip(
+                (jnp.asarray(1.0 / cfg.conf_thr, new_state.conf.dtype)
+                 * qmax).astype(jnp.int32), 0, qmax)
+            blk_img = jnp.where(
+                aux["placed"],
+                (q_new << slot_bits) | (aux["hi0"] + aux["rank"]), -1)
+            kmax = jnp.maximum(aux["pool_kmax"], blk_img)
         else:
+            blk_key = pack(blk_conf_rows, blk_ids, aux["blk_active"])
+            blk_pix = jnp.where(aux["blk_active"], aux["src"], n)
             key = pack(new_state.conf, slot_ids, valid)
             kmax = _winner_kmax(jnp.concatenate([pix, blk_pix]),
                                 jnp.concatenate([key, blk_key]), n, cfg)

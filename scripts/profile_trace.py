@@ -46,7 +46,7 @@ def run_traced(path_kind: str, t_window: int, n_windows: int, logdir: str):
     if path_kind == "f2m":
         cfg.update(map_capacity=bench.F2M_POOL_FRAMES * bench.H * bench.W,
                    initial_bucket=bench.F2M_POOL_FRAMES * bench.H * bench.W,
-                   winner="scatter")
+                   winner=os.environ.get("BENCH_F2M_WINNER", "segsort"))
     est = bench.build_estimator(cfg)
     print("estimator built", flush=True)
     ls, rs = bench.make_sequence(1)

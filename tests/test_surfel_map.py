@@ -265,7 +265,7 @@ def test_fuse_render_merged_matches_sequential():
 
     packed = {}  # winner -> (state, model frame): must be bit-identical
     for exact, winner in ((False, "scatter"), (False, "sort"),
-                          (True, "scatter")):
+                          (False, "segsort"), (True, "scatter")):
         cfg = SurfelConfig(capacity=cap, img_shape=(H, W), d_thresh=50.0,
                            average_pts=False, exact_render=exact,
                            winner=winner)
@@ -285,10 +285,12 @@ def test_fuse_render_merged_matches_sequential():
         if not exact:
             packed[winner] = (st_mrg, mf_mrg)
 
-    # the sort-based winner is an exact drop-in for the scatter-max
-    sc, so = packed["scatter"], packed["sort"]
-    for a, b in zip(sc[0], so[0]):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    for f in ("img", "depth", "mask", "confidence"):
-        np.testing.assert_array_equal(np.asarray(getattr(sc[1], f)),
-                                      np.asarray(getattr(so[1], f)))
+    # the sort-based winners are exact drop-ins for the scatter-max
+    sc = packed["scatter"]
+    for mode in ("sort", "segsort"):
+        so = packed[mode]
+        for a, b in zip(sc[0], so[0]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for f in ("img", "depth", "mask", "confidence"):
+            np.testing.assert_array_equal(np.asarray(getattr(sc[1], f)),
+                                          np.asarray(getattr(so[1], f)))
